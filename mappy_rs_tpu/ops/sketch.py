@@ -1,0 +1,233 @@
+"""Vectorized (k,w) canonical minimizer sketch — TPU compute path.
+
+TPU-native replacement for the per-read scalar sketch the reference
+reaches through FFI on every map call (SURVEY.md §2b N7).  Instead of a
+rolling ring buffer, the whole batch of reads is sketched at once as a
+dense [B, L] computation on the VPU:
+
+- k-mer integers are assembled from k static shifted views (no scan —
+  each base occupies a disjoint 2-bit slot, so OR-accumulation maps to
+  pure elementwise ops);
+- 64-bit hash/compare arithmetic runs on (hi, lo) uint32 pairs
+  (utils/u64.py) since TPUs have no fast 64-bit integer path;
+- the w-window minimum is a static cascade of w-1 shifted pairwise mins;
+- the emission rule is evaluated as a mask.  The scalar algorithm's
+  ring-buffer control flow (including its tie quirks) reduces to five
+  position-based clauses, each a static w-shift loop over the batch.
+
+Derivation of the emission clauses.  Let x[j] be the k-mer hash at end
+position j (INF when invalid), run(t) the count of consecutive valid
+bases ending at t, m(t)/M(t) the minimum value / LATEST-tie argmin of
+the window [t-w+1, t].  The scalar algorithm's buffer at step t always
+holds exactly positions [t-w+1, t] (every position pushes one entry for
+odd k), and its tracked `min` equals (m(t), M(t)).  A finite position j
+is emitted iff any of:
+
+  A  first-window tie emission: ∃ t∈(j, j+w): run(t) == w+k-1,
+     x[j] == m(t-1), j != M(t-1)
+  B  replacement push: ∃ t∈(j, j+w]: M(t-1) == j, x[t] <= x[j],
+     run(t) >= w+k   (t == j+w included: the scalar code checks
+     replacement BEFORE expiry, with `min` still holding the value)
+  Cp expiry push: with t = j+w: M(t-1) == j (== t-w), x[t] > m(t-1),
+     run(t) >= w+k-1
+  Ct expiry rescan ties: ∃ t∈(j, j+w): M(t-1) == t-w, x[t] > m(t-1),
+     run(t) >= w+k-1, x[j] == m(t), j != M(t)
+  D  final flush: j == M(len-1)
+
+B without `run(t) >= w+k` is the scalar code's silently-dropped
+minimum (a tie arriving exactly at the first full window replaces the
+current minimum before it was ever written out); clause A's exclusion
+of M(t-1) matches the `y != min.y` guard.  These clauses reproduce the
+scalar oracle bit-for-bit, including N-breaks and homopolymer ties.
+
+Set-equality with the exact scalar oracle (index/sketch_host.py) —and
+therefore with minimap2's own sketch, see the test.mmi parity test—is
+enforced by tests/test_sketch.py.
+
+Note: for even k, self-complementary k-mers occupy a window slot here
+but are skipped entirely by minimap2; every supported preset uses odd k
+so the two semantics coincide.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import u64
+
+AMBIG = 4  # base code for non-ACGT
+_U32 = jnp.uint32
+
+
+def _shifted_back(x: jnp.ndarray, d: int, fill) -> jnp.ndarray:
+    """x[..., i-d] with `fill` for i-d < 0 (static d >= 0)."""
+    if d == 0:
+        return x
+    pad = jnp.full(x.shape[:-1] + (d,), fill, x.dtype)
+    return jnp.concatenate([pad, x[..., :-d]], axis=-1)
+
+
+def _shifted_fwd(x: jnp.ndarray, d: int, fill) -> jnp.ndarray:
+    """x[..., i+d] with `fill` past the end (static d >= 0)."""
+    if d == 0:
+        return x
+    pad = jnp.full(x.shape[:-1] + (d,), fill, x.dtype)
+    return jnp.concatenate([x[..., d:], pad], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("k", "w"))
+def sketch(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int):
+    """Sketch a padded batch of reads.
+
+    Args:
+      codes: uint8/int32 [B, L] base codes 0..4; positions >= lengths[b]
+        must be padded with AMBIG (4).
+      lengths: int32 [B] true read lengths.
+      k, w: static sketch parameters (k <= 28, w < 256).
+
+    Returns dict of [B, L] arrays, all aligned to k-mer END position i:
+      minimizer: bool — position i emits a minimizer
+      key_hi, key_lo: uint32 — 2k-bit hash of the canonical k-mer
+      strand: uint8 — 0 forward / 1 reverse-canonical
+    """
+    codes = codes.astype(_U32)
+    B, L = codes.shape
+    valid_base = codes < AMBIG
+    clean = jnp.where(valid_base, codes, 0)
+
+    # --- validity: all k bases ending at i are valid ------------------
+    invalid = (~valid_base).astype(jnp.int32)
+    run_break = jnp.cumsum(invalid, axis=-1)  # inclusive prefix count
+    # window [i-k+1, i] has no invalid base
+    win_break = run_break - _shifted_back(run_break, k, jnp.int32(0))
+    kmer_ok = (win_break == 0) & (
+        jnp.arange(L, dtype=jnp.int32)[None, :] >= (k - 1)
+    )
+
+    # --- forward / reverse k-mer integers -----------------------------
+    kf_hi = jnp.zeros((B, L), _U32)
+    kf_lo = jnp.zeros((B, L), _U32)
+    kr_hi = jnp.zeros((B, L), _U32)
+    kr_lo = jnp.zeros((B, L), _U32)
+    for d in range(k):
+        b = _shifted_back(clean, d, _U32(0))  # base at distance d back
+        s_f = 2 * d  # forward: newest base in lowest bits
+        if s_f < 32:
+            kf_lo = kf_lo | (b << s_f)
+            if s_f > 30:  # 2-bit value straddles the 32-bit boundary
+                kf_hi = kf_hi | (b >> (32 - s_f))
+        else:
+            kf_hi = kf_hi | (b << (s_f - 32))
+        comp = b ^ _U32(3)
+        s_r = 2 * (k - 1 - d)  # reverse: newest base in highest bits
+        if s_r < 32:
+            kr_lo = kr_lo | (comp << s_r)
+            if s_r > 30:
+                kr_hi = kr_hi | (comp >> (32 - s_r))
+        else:
+            kr_hi = kr_hi | (comp << (s_r - 32))
+
+    # canonical strand: z=1 when reverse complement is smaller
+    z = u64.le((kr_hi, kr_lo), (kf_hi, kf_lo))  # kf==kr -> z True (even-k only)
+    kmin = u64.select(z, (kr_hi, kr_lo), (kf_hi, kf_lo))
+
+    mask_bits = 2 * k
+    mask_lo = _U32(u64.mask_bits(min(mask_bits, 32)))
+    mask_hi = _U32(u64.mask_bits(max(mask_bits - 32, 0)))
+    h = u64.hash64(kmin, mask_hi, mask_lo)
+
+    INF_V = _U32(0xFFFFFFFF)
+    INF = (jnp.full((B, L), INF_V), jnp.full((B, L), INF_V))
+    x = u64.select(kmer_ok, h, INF)
+    pos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
+
+    # run(t): consecutive valid BASES ending at t
+    last_bad = jax.lax.cummax(jnp.where(valid_base, jnp.int32(-1), pos), axis=1)
+    run = pos - last_bad
+
+    # m(t), M(t): minimum value and LATEST-tie argmin over [t-w+1, t]
+    m = x
+    for d in range(1, w):
+        m = u64.minimum(
+            m, (_shifted_back(x[0], d, INF_V), _shifted_back(x[1], d, INF_V))
+        )
+    # latest tie = smallest lookback d with x[t-d] == m(t)
+    M = jnp.full((B, L), -1, jnp.int32)
+    found = jnp.zeros((B, L), bool)
+    for d in range(w):
+        xb = (_shifted_back(x[0], d, INF_V), _shifted_back(x[1], d, INF_V))
+        hit = (~found) & u64.eq(xb, m)
+        M = jnp.where(hit, pos - d, M)
+        found = found | hit
+    # all-INF windows: the scalar code's min slot is still tracked; the
+    # INF match above yields the latest INF position, consistent.
+
+    m1 = (_shifted_back(m[0], 1, INF_V), _shifted_back(m[1], 1, INF_V))  # m(t-1)
+    M1 = _shifted_back(M, 1, jnp.int32(-2))  # M(t-1)
+
+    condA = run == (w + k - 1)
+    condB = u64.le(x, m1) & (run >= (w + k))
+    condCt = (M1 == pos - w) & (~u64.le(x, m1)) & (run >= (w + k - 1))
+
+    emitted = jnp.zeros((B, L), bool)
+    for d in range(1, w + 1):
+        tB = _shifted_fwd(condB, d, False)
+        M1_d = _shifted_fwd(M1, d, jnp.int32(-2))
+        emitted = emitted | (tB & (M1_d == pos))  # B
+        if d < w:
+            tA = _shifted_fwd(condA, d, False)
+            tCt = _shifted_fwd(condCt, d, False)
+            m1_d = (_shifted_fwd(m1[0], d, INF_V), _shifted_fwd(m1[1], d, INF_V))
+            m_d = (_shifted_fwd(m[0], d, INF_V), _shifted_fwd(m[1], d, INF_V))
+            M_d = _shifted_fwd(M, d, jnp.int32(-2))
+            emitted = emitted | (tA & u64.eq(x, m1_d) & (M1_d != pos))  # A
+            emitted = emitted | (tCt & u64.eq(x, m_d) & (M_d != pos))  # Ct
+        else:
+            emitted = emitted | (_shifted_fwd(condCt, w, False) & (M1_d == pos))  # Cp
+
+    # D: final flush at each read's true end — emit M(len-1)
+    at_end = pos == (lengths[:, None] - 1)
+    M_end = jnp.max(jnp.where(at_end, M, -1), axis=-1, keepdims=True)
+    emitted = emitted | (pos == M_end)
+
+    emitted = emitted & kmer_ok & (pos < lengths[:, None])
+    return {
+        "minimizer": emitted,
+        "key_hi": x[0],
+        "key_lo": x[1],
+        "strand": z.astype(jnp.uint8),
+    }
+
+
+@partial(jax.jit, static_argnames=("k", "w", "max_minimizers"))
+def sketch_compact(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int,
+                   max_minimizers: int):
+    """Sketch + on-device compaction into fixed-width [B, M] slot arrays.
+
+    Returns (n [B], key_hi/key_lo/pos/strand [B, M]); slots >= n are
+    invalid (key = 0xFFFF..., pos = -1).
+    """
+    s = sketch(codes, lengths, k, w)
+    B, L = codes.shape
+    M = max_minimizers
+    emitted = s["minimizer"]
+    slot = jnp.cumsum(emitted.astype(jnp.int32), axis=-1) - 1
+    slot = jnp.where(emitted & (slot < M), slot, M)  # overflow -> dropped
+    n = jnp.sum(emitted.astype(jnp.int32), axis=-1)
+    n = jnp.minimum(n, M)
+
+    def scatter(src, fill, dtype):
+        out = jnp.full((B, M + 1), fill, dtype)
+        out = out.at[jnp.arange(B)[:, None], slot].set(src.astype(dtype), mode="drop")
+        return out[:, :M]
+
+    pos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
+    return {
+        "n": n,
+        "key_hi": scatter(s["key_hi"], 0xFFFFFFFF, _U32),
+        "key_lo": scatter(s["key_lo"], 0xFFFFFFFF, _U32),
+        "pos": scatter(pos, -1, jnp.int32),
+        "strand": scatter(s["strand"], 0, jnp.uint8),
+    }
