@@ -1,0 +1,161 @@
+"""Reference index builder: FASTA -> MinimizerIndex.
+
+Equivalent of the C core's index construction path that the reference
+drives through ``mm_idx_reader_read`` when handed a FASTA
+(/root/reference/src/lib.rs:395-413, SURVEY.md §2b N2) — but instead of
+pthread-parallel scalar sketching, contigs are sketched on-device with
+the vectorized kernel (ops/sketch.py) in fixed-size overlapping chunks,
+and only the emitted (key, pos, strand) triples return to the host for
+the sort/unique pass.
+
+Because the vectorized sketch is bit-exact with minimap2's semantics,
+an index built here from FASTA is byte-identical (after .mmi
+serialisation) to one produced by `minimap2 -d` with the same k/w —
+validated against resources/test/test.mmi in tests/test_index.py.
+"""
+from __future__ import annotations
+
+from typing import Iterable, List, Sequence, Tuple
+
+import numpy as np
+
+from ..config import IndexOptions
+from ..utils.seqcodes import encode, read_fastx
+from .index import MinimizerIndex
+from .mmi import load_mmi
+
+# chunk size for device sketching of long contigs
+_CHUNK = 1 << 20
+
+
+def _sketch_contig_device(codes: np.ndarray, k: int, w: int) -> np.ndarray:
+    """Sketch one contig with the device kernel; returns [n, 3] int64
+    array of (key<<?, split later) rows: columns (key_hi, key_lo combined
+    as uint64), pos_end, strand."""
+    import jax.numpy as jnp
+
+    from ..ops.sketch import sketch
+
+    L = len(codes)
+    left, right = w + 2 * k, w + 1
+    out_rows: List[np.ndarray] = []
+    start = 0
+    while start < L:
+        keep_end = min(start + _CHUNK, L)
+        lo = max(start - left, 0)
+        hi = min(keep_end + right, L)
+        chunk = codes[lo:hi]
+        # pad to the fixed chunk shape so jit compiles once
+        pad_len = _CHUNK + left + right
+        padded = np.full(pad_len, 4, np.uint8)
+        padded[: len(chunk)] = chunk
+        is_last = keep_end == L
+        # true length: for the final chunk the D-clause (final flush)
+        # must fire at the real contig end; for middle chunks the fake
+        # end lies in the discarded right overlap (right > w-1), so any
+        # spurious flush emission is dropped by the keep-window filter.
+        eff_len = len(chunk)
+        res = sketch(
+            jnp.asarray(padded[None, :]),
+            jnp.asarray([eff_len], np.int32),
+            k,
+            w,
+        )
+        mask = np.asarray(res["minimizer"][0])
+        pos_all = np.nonzero(mask)[0]
+        keep_lo, keep_hi = start - lo, keep_end - lo
+        if is_last:
+            sel = (pos_all >= keep_lo) & (pos_all < keep_hi)
+        else:
+            sel = (pos_all >= keep_lo) & (pos_all < keep_hi)
+        pos = pos_all[sel]
+        kh = np.asarray(res["key_hi"][0])[pos].astype(np.uint64)
+        kl = np.asarray(res["key_lo"][0])[pos].astype(np.uint64)
+        strand = np.asarray(res["strand"][0])[pos].astype(np.uint64)
+        key = (kh << np.uint64(32)) | kl
+        abs_pos = (pos - keep_lo + start).astype(np.uint64)
+        out_rows.append(np.stack([key, abs_pos, strand], axis=1))
+        start = keep_end
+    if not out_rows:
+        return np.empty((0, 3), np.uint64)
+    return np.concatenate(out_rows, axis=0)
+
+
+def _sketch_contig_host(codes: np.ndarray, k: int, w: int) -> np.ndarray:
+    from .sketch_host import sketch_host
+
+    rows = [(key, pos, z) for key, _, pos, z in sketch_host(codes, k, w, 0)]
+    return np.asarray(rows, dtype=np.uint64).reshape(-1, 3)
+
+
+def build_index(
+    seqs: Sequence[Tuple[str, str]],
+    opts: IndexOptions | None = None,
+    use_device: bool = True,
+) -> MinimizerIndex:
+    """Build a MinimizerIndex from (name, sequence) pairs."""
+    opts = opts or IndexOptions()
+    if opts.flag & 0x1:  # MM_I_HPC
+        raise NotImplementedError(
+            "homopolymer-compressed (HPC) sketching not implemented yet"
+        )
+    k, w = opts.k, opts.w
+    names: List[str] = []
+    lens: List[int] = []
+    all_codes: List[np.ndarray] = []
+    triples: List[np.ndarray] = []  # (key, y=rid<<32|pos<<1|strand)
+    for rid, (name, seq) in enumerate(seqs):
+        codes = encode(seq)
+        names.append(name)
+        lens.append(len(codes))
+        all_codes.append(codes)
+        if len(codes) >= k:
+            rows = (
+                _sketch_contig_device(codes, k, w)
+                if use_device
+                else _sketch_contig_host(codes, k, w)
+            )
+            if len(rows):
+                key = rows[:, 0]
+                y = (
+                    (np.uint64(rid) << np.uint64(32))
+                    | (rows[:, 1] << np.uint64(1))
+                    | rows[:, 2]
+                )
+                triples.append(np.stack([key, y], axis=1))
+
+    if triples:
+        kp = np.concatenate(triples, axis=0)
+        order = np.lexsort((kp[:, 1], kp[:, 0]))
+        kp = kp[order]
+        keys_all, positions = kp[:, 0], kp[:, 1]
+        uniq, first = np.unique(keys_all, return_index=True)
+        offsets = np.concatenate([first, [len(keys_all)]]).astype(np.uint64)
+    else:
+        uniq = np.empty(0, np.uint64)
+        offsets = np.zeros(1, np.uint64)
+        positions = np.empty(0, np.uint64)
+
+    return MinimizerIndex(
+        k=k,
+        w=w,
+        bucket_bits=opts.bucket_bits,
+        flag=opts.flag & 0x7,
+        seq_names=names,
+        seq_lens=np.asarray(lens, np.uint32),
+        keys=uniq,
+        key_offsets=offsets,
+        positions=positions,
+        ref_codes=np.concatenate(all_codes) if all_codes else np.empty(0, np.uint8),
+    )
+
+
+def load_or_build(path: str, opts: IndexOptions | None = None) -> MinimizerIndex:
+    """Open a .mmi index or build one from FASTA/FASTQ — the behaviour
+    of ``mm_idx_reader_open/read`` (lib.rs:395-413)."""
+    with open(path, "rb") as fh:
+        magic = fh.read(4)
+    if magic == b"MMI\x02":
+        idx = MinimizerIndex.from_raw(load_mmi(path))
+        return idx
+    return build_index(list(read_fastx(path)), opts)

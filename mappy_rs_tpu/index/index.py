@@ -1,0 +1,211 @@
+"""MinimizerIndex: the TPU-resident reference index.
+
+Equivalent of the C core's ``mm_idx_t`` + its khash bucket table
+(SURVEY.md §2b N3), redesigned for XLA: instead of 2^14 pointer-chasing
+hash buckets, the minimizer table is three flat, sorted device arrays —
+(key_hi, key_lo) sorted unique hashes, prefix offsets, and a packed
+position array — so that seed lookup becomes a vectorized binary
+search + gather (ops/lookup.py).  The reference reads `mm_idx_t`
+fields directly for introspection (/root/reference/src/lib.rs:438-470,
+650-670); the same surface is provided here as properties.
+
+Also covers:
+  N4 mm_mapopt_update  -> ``update_map_options`` (mid_occ quantile)
+  N5 mm_idx_index_name -> ``name2id`` dict
+  N6 mm_idx_getseq     -> ``get_seq`` (host) over the packed reference
+"""
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..config import MapOptions
+from .mmi import RawIndexData, pack_seq, unpack_seq
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+@dataclass
+class DeviceIndex:
+    """Device-side (jnp) flat arrays; see MinimizerIndex.device."""
+
+    key_hi: object  # uint32 [n_keys_pad]
+    key_lo: object  # uint32 [n_keys_pad]
+    offsets: object  # int32  [n_keys_pad]  start into positions
+    counts: object  # int32  [n_keys_pad]
+    pos_rid: object  # int32  [n_pos]
+    pos_ps: object  # uint32 [n_pos]  pos_end<<1 | strand
+    ref_codes: object  # uint8 [ref_len_pad] 0..4 concatenated contigs
+    seq_offsets: object  # int64->int32 [n_seq+1]
+    n_keys: int
+    log2_keys: int
+
+
+@dataclass
+class MinimizerIndex:
+    """Host+device minimizer index."""
+
+    k: int
+    w: int
+    bucket_bits: int
+    flag: int
+    seq_names: List[str]
+    seq_lens: np.ndarray
+    keys: np.ndarray  # uint64 [n] sorted
+    key_offsets: np.ndarray  # uint64 [n+1]
+    positions: np.ndarray  # uint64 [m]: rid<<32 | pos_end<<1 | strand
+    ref_codes: np.ndarray  # uint8 [sum_len] 0..4
+    _device: Optional[DeviceIndex] = None
+    _name2id: Optional[Dict[str, int]] = None
+    _lock: threading.Lock = field(default_factory=threading.Lock)
+
+    # -- introspection (reference parity) ------------------------------
+    @property
+    def n_seq(self) -> int:
+        return len(self.seq_names)
+
+    @property
+    def seq_offsets(self) -> np.ndarray:
+        return np.concatenate(
+            [[0], np.cumsum(self.seq_lens.astype(np.int64))]
+        ).astype(np.int64)
+
+    @property
+    def name2id(self) -> Dict[str, int]:
+        """mm_idx_index_name equivalent (lib.rs:416)."""
+        if self._name2id is None:
+            self._name2id = {n: i for i, n in enumerate(self.seq_names)}
+        return self._name2id
+
+    def get_seq(self, name: str, start: int = 0, end: int = 2147483647) -> str:
+        """mm_idx_getseq equivalent with the reference's clamp semantics
+        (lib.rs:706-766).  Raises on invalid input; the Python API layer
+        converts errors to None."""
+        if self.flag & 0x2:  # MM_I_NO_SEQ
+            raise ValueError("No sequence in this index")
+        rid = self.name2id.get(name, -1)
+        if rid < 0 or rid >= self.n_seq:
+            raise KeyError("Could not find reference in index")
+        ref_len = int(self.seq_lens[rid])
+        if start >= ref_len or start >= end:
+            raise ValueError("Funky start and end coords")
+        if end < 0 or end > ref_len:
+            end = ref_len
+        off = int(self.seq_offsets[rid])
+        codes = self.ref_codes[off + start : off + end]
+        if np.any(codes > 4):
+            raise ValueError("Got an unknown char, not {ACGTN}")
+        from ..utils.seqcodes import decode
+
+        return decode(codes)
+
+    # -- occurrence statistics (mm_mapopt_update / mm_idx_cal_max_occ) --
+    def cal_max_occ(self, frac: float) -> int:
+        """(1-frac) quantile of per-key occurrence counts, plus one."""
+        if frac <= 0.0:
+            return 2147483647
+        counts = (self.key_offsets[1:] - self.key_offsets[:-1]).astype(np.int64)
+        n = len(counts)
+        if n == 0:
+            return 2147483647
+        kth = min(int((1.0 - frac) * n), n - 1)
+        return int(np.partition(counts, kth)[kth]) + 1
+
+    def update_map_options(self, opt: MapOptions) -> None:
+        """mm_mapopt_update equivalent (lib.rs:414)."""
+        if opt.mid_occ <= 0:
+            opt.mid_occ = self.cal_max_occ(opt.mid_occ_frac)
+            if opt.mid_occ < opt.min_mid_occ:
+                opt.mid_occ = opt.min_mid_occ
+            if opt.max_mid_occ > opt.min_mid_occ and opt.mid_occ > opt.max_mid_occ:
+                opt.mid_occ = opt.max_mid_occ
+        if opt.bw_long < opt.bw:
+            opt.bw_long = opt.bw
+
+    # -- device upload --------------------------------------------------
+    @property
+    def device(self) -> DeviceIndex:
+        with self._lock:
+            if self._device is None:
+                self._device = self._build_device()
+            return self._device
+
+    def _build_device(self) -> DeviceIndex:
+        import jax.numpy as jnp
+
+        n = len(self.keys)
+        n_pad = max(_next_pow2(max(n, 1)), 8)
+        key_hi = np.full(n_pad, 0xFFFFFFFF, np.uint32)
+        key_lo = np.full(n_pad, 0xFFFFFFFF, np.uint32)
+        key_hi[:n] = (self.keys >> np.uint64(32)).astype(np.uint32)
+        key_lo[:n] = (self.keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        offsets = np.zeros(n_pad, np.int32)
+        counts = np.zeros(n_pad, np.int32)
+        offsets[:n] = self.key_offsets[:n].astype(np.int32)
+        counts[:n] = (self.key_offsets[1:] - self.key_offsets[:-1]).astype(np.int32)
+        m = len(self.positions)
+        m_pad = max(m, 8)
+        pos_rid = np.zeros(m_pad, np.int32)
+        pos_ps = np.zeros(m_pad, np.uint32)
+        pos_rid[:m] = (self.positions >> np.uint64(32)).astype(np.int32)
+        pos_ps[:m] = (self.positions & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        ref_len = len(self.ref_codes)
+        ref_pad = ((ref_len + 127) // 128 + 1) * 128
+        ref = np.full(ref_pad, 4, np.uint8)
+        ref[:ref_len] = self.ref_codes
+        log2 = max(n_pad - 1, 1).bit_length()
+        return DeviceIndex(
+            key_hi=jnp.asarray(key_hi),
+            key_lo=jnp.asarray(key_lo),
+            offsets=jnp.asarray(offsets),
+            counts=jnp.asarray(counts),
+            pos_rid=jnp.asarray(pos_rid),
+            pos_ps=jnp.asarray(pos_ps),
+            ref_codes=jnp.asarray(ref),
+            seq_offsets=jnp.asarray(self.seq_offsets.astype(np.int32)),
+            n_keys=n,
+            log2_keys=log2,
+        )
+
+    # -- conversions ----------------------------------------------------
+    @classmethod
+    def from_raw(cls, raw: RawIndexData) -> "MinimizerIndex":
+        if raw.packed_seq is not None:
+            total = int(raw.seq_lens.astype(np.int64).sum())
+            ref_codes = unpack_seq(raw.packed_seq, 0, total)
+        else:
+            ref_codes = np.empty(0, np.uint8)
+        return cls(
+            k=raw.k,
+            w=raw.w,
+            bucket_bits=raw.bucket_bits,
+            flag=raw.flag,
+            seq_names=list(raw.seq_names),
+            seq_lens=raw.seq_lens.copy(),
+            keys=raw.keys,
+            key_offsets=raw.key_offsets,
+            positions=raw.positions,
+            ref_codes=ref_codes,
+        )
+
+    def to_raw(self) -> RawIndexData:
+        return RawIndexData(
+            k=self.k,
+            w=self.w,
+            bucket_bits=self.bucket_bits,
+            flag=self.flag,
+            seq_names=list(self.seq_names),
+            seq_lens=self.seq_lens.astype(np.uint32),
+            keys=self.keys,
+            key_offsets=self.key_offsets,
+            positions=self.positions,
+            packed_seq=None if (self.flag & 0x2) else pack_seq(self.ref_codes),
+        )
