@@ -1,0 +1,153 @@
+"""Seed lookup + anchor collection — vectorized gather kernels.
+
+TPU-native replacement for ``mm_idx_get`` + ``collect_seed_hits``
+(SURVEY.md §2b N8): query minimizers are matched against the index's
+sorted key arrays with a batched branchless binary search (log2(n)
+rounds of gathers — XLA turns each round into one HBM gather), then
+hit lists are expanded into a fixed per-read anchor budget with a
+prefix-sum slot assignment and a second vectorized binary search.
+
+Anchor convention (matches minimap2's seed records so the chaining
+scores are comparable):
+  rev   = query strand XOR reference strand
+  rpos  = position of the k-mer's LAST base on the forward ref strand
+  qpos  = k-mer END on the query if rev==0,
+          else qlen-1 - (end+1-span) (END in reversed-query coords)
+Anchors are sorted per read by (rev, rid, rpos, qpos) via a
+multi-operand lexicographic jax.lax.sort.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_I32 = jnp.int32
+_U32 = jnp.uint32
+
+
+def _lower_bound_2key(key_hi, key_lo, q_hi, q_lo, n_pad: int):
+    """Branchless lower_bound of (q_hi,q_lo) rows in sorted (key_hi,key_lo).
+
+    key arrays are padded to n_pad (power of two) with 0xFFFFFFFF
+    sentinels.  Returns int32 indices with the shape of q_hi.
+    """
+    steps = max(n_pad - 1, 1).bit_length()
+    lo = jnp.zeros_like(q_hi, dtype=_I32)
+    hi = jnp.full_like(lo, n_pad)
+    for _ in range(steps + 1):
+        mid = (lo + hi) >> 1
+        mh = key_hi[mid]
+        ml = key_lo[mid]
+        less = (mh < q_hi) | ((mh == q_hi) & (ml < q_lo))
+        lo = jnp.where(less, mid + 1, lo)
+        hi = jnp.where(less, hi, mid)
+    return lo
+
+
+def _searchsorted_rows(prefix, targets):
+    """Row-wise 'right' searchsorted: for each target t, the largest i
+    with prefix[b, i] <= t.  prefix: int32 [B, M+1] nondecreasing;
+    targets: int32 [B, A]."""
+    B, M1 = prefix.shape
+    steps = max(M1 - 1, 1).bit_length()
+    lo = jnp.zeros(targets.shape, _I32)
+    hi = jnp.full(targets.shape, M1 - 1, _I32)
+    rows = jnp.arange(B, dtype=_I32)[:, None]
+    for _ in range(steps + 1):
+        mid = (lo + hi + 1) >> 1
+        v = prefix[rows, mid]
+        le = v <= targets
+        lo = jnp.where(le, mid, lo)
+        hi = jnp.where(le, hi, mid - 1)
+    return lo
+
+
+@partial(jax.jit, static_argnames=("max_anchors", "span"))
+def collect_anchors(
+    mins: dict,
+    qlens: jnp.ndarray,
+    key_hi: jnp.ndarray,
+    key_lo: jnp.ndarray,
+    offsets: jnp.ndarray,
+    counts: jnp.ndarray,
+    pos_rid: jnp.ndarray,
+    pos_ps: jnp.ndarray,
+    n_keys: jnp.ndarray,
+    mid_occ: jnp.ndarray,
+    max_anchors: int,
+    span: int,
+):
+    """Expand query minimizers into sorted anchors.
+
+    Args:
+      mins: output of sketch_compact — key_hi/key_lo/pos/strand [B, M], n [B].
+      qlens: int32 [B] true query lengths.
+      key_hi..pos_ps: DeviceIndex arrays.
+      n_keys, mid_occ: int32 scalars (device).
+      max_anchors: static per-read anchor budget A.
+      span: static k-mer span (= k, no HPC).
+
+    Returns dict with [B, A] arrays rev/rid/rpos/qpos/valid and n [B].
+    """
+    q_hi, q_lo = mins["key_hi"], mins["key_lo"]
+    B, M = q_hi.shape
+    n_pad = key_hi.shape[0]
+
+    idx = _lower_bound_2key(key_hi, key_lo, q_hi, q_lo, n_pad)
+    idx_c = jnp.minimum(idx, n_pad - 1)
+    found = (
+        (idx < n_keys)
+        & (key_hi[idx_c] == q_hi)
+        & (key_lo[idx_c] == q_lo)
+        & (mins["pos"] >= 0)
+    )
+    cnt = jnp.where(found, counts[idx_c], 0)
+    # seed occurrence filter (mm_mapopt_update's mid_occ, SURVEY §2b N4)
+    cnt = jnp.where(cnt > mid_occ, 0, cnt)
+    off = offsets[idx_c]
+
+    # slot allocation: prefix[b, i] = anchors before minimizer slot i
+    prefix = jnp.concatenate(
+        [jnp.zeros((B, 1), _I32), jnp.cumsum(cnt, axis=1, dtype=_I32)], axis=1
+    )
+    n_anchors = jnp.minimum(prefix[:, -1], max_anchors)
+
+    A = max_anchors
+    slots = jnp.broadcast_to(jnp.arange(A, dtype=_I32)[None, :], (B, A))
+    src = _searchsorted_rows(prefix, slots)  # minimizer slot per anchor
+    rows = jnp.arange(B, dtype=_I32)[:, None]
+    a_valid = slots < n_anchors[:, None]
+    hit_off = slots - prefix[rows, src]
+    pos_idx = jnp.where(a_valid, off[rows, src] + hit_off, 0)
+
+    rid = pos_rid[pos_idx]
+    ps = pos_ps[pos_idx]
+    rpos = (ps >> _U32(1)).astype(_I32)
+    rstrand = (ps & _U32(1)).astype(jnp.uint8)
+
+    q_pos = mins["pos"][rows, src]
+    q_strand = mins["strand"][rows, src]
+    rev = (q_strand ^ rstrand).astype(_I32)
+    qpos = jnp.where(
+        rev == 0,
+        q_pos,
+        qlens[:, None] - (q_pos + 1 - span) - 1,
+    )
+
+    # sort per read by (valid-last, rev, rid, rpos, qpos)
+    sort_first = jnp.where(a_valid, rev, 2)
+    srt = jax.lax.sort(
+        (sort_first, rid, rpos, qpos, a_valid.astype(_I32)),
+        dimension=1,
+        num_keys=4,
+    )
+    return {
+        "rev": srt[0],
+        "rid": srt[1],
+        "rpos": srt[2],
+        "qpos": srt[3],
+        "valid": srt[4].astype(bool),
+        "n": n_anchors,
+    }
