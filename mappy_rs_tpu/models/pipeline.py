@@ -1,0 +1,346 @@
+"""End-to-end alignment pipeline — the framework's flagship "model".
+
+Drives the full map path the reference reaches through
+``minimap2::Aligner::map`` (SURVEY.md §3.2): sketch (N7) -> seed
+lookup (N8) -> chaining DP (N9) -> banded extension DP + traceback
+(N10) -> primary marking + mapq (N11) -> cs/MD (N12), with the O(L)
+inner loops on device (ops/*.py) and only O(result) glue on host.
+
+Batching strategy (the TPU analogue of the reference's per-read worker
+threads): reads are length-bucketed and padded so every device stage
+runs lock-step on [B, L] arrays with static shapes; extension jobs are
+re-bucketed by (query, target, band) size classes.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import AlignerConfig, MapOptions
+from ..index.index import MinimizerIndex
+from ..ops import cigar as cig
+from ..ops.chain import ChainParams, chain_scores
+from ..ops.extend import ExtendParams, extend_dp
+from ..ops.lookup import collect_anchors
+from ..ops.regions import (
+    Region,
+    backtrack_chains,
+    gen_regions,
+    select_sub,
+    set_mapq,
+    set_parent,
+)
+from ..ops.sketch import sketch_compact
+from ..utils.seqcodes import encode
+
+
+def _pow2_at_least(n: int, lo: int = 1) -> int:
+    p = lo
+    while p < n:
+        p <<= 1
+    return p
+
+
+@dataclass
+class _ExtJob:
+    region: Region
+    kind: str  # 'left' | 'mid' | 'right'
+    q: np.ndarray
+    t: np.ndarray
+
+
+class AlignmentEngine:
+    """Batched aligner over one MinimizerIndex."""
+
+    def __init__(
+        self,
+        index: MinimizerIndex,
+        opt: MapOptions,
+        cfg: Optional[AlignerConfig] = None,
+    ):
+        self.index = index
+        self.opt = opt
+        self.cfg = cfg or AlignerConfig()
+        self.dev = index.device
+        self._ext_params = ExtendParams(
+            a=opt.a, b=opt.b, q=opt.q, e=opt.e, q2=opt.q2, e2=opt.e2,
+            sc_ambi=opt.sc_ambi,
+        )
+        max_gap_ref = opt.max_gap_ref if opt.max_gap_ref >= 0 else opt.max_gap
+        self._chain_params = ChainParams(
+            max_dist_x=max_gap_ref,
+            max_dist_y=opt.max_gap,
+            bw=opt.bw,
+            q_span=index.k,
+            chn_pen_gap=opt.chain_gap_scale * 0.01 * index.k,
+            chn_pen_skip=opt.chain_skip_scale * 0.01 * index.k,
+        )
+
+    # ------------------------------------------------------------------
+    def map_batch(
+        self, seqs: Sequence[str], cs: bool = False, md: bool = False
+    ) -> List[List[Region]]:
+        """Map a batch of reads; returns per-read region lists (aligned,
+        mapq'd, primary-marked), best first."""
+        out: List[List[Region]] = [[] for _ in seqs]
+        codes = [encode(s) for s in seqs]
+        # ---- length bucketing ----
+        buckets: Dict[int, List[int]] = {}
+        for i, c in enumerate(codes):
+            L = self._bucket_len(len(c))
+            buckets.setdefault(L, []).append(i)
+        for L, idxs in buckets.items():
+            self._map_bucket(L, idxs, codes, out, cs, md)
+        return out
+
+    def _bucket_len(self, n: int) -> int:
+        for b in self.cfg.length_buckets:
+            if n <= b:
+                return b
+        return _pow2_at_least(n, self.cfg.length_buckets[-1])
+
+    # ------------------------------------------------------------------
+    def _map_bucket(
+        self,
+        L: int,
+        idxs: List[int],
+        codes: List[np.ndarray],
+        out: List[List[Region]],
+        cs: bool,
+        md: bool,
+    ) -> None:
+        import jax.numpy as jnp
+
+        k, w = self.index.k, self.index.w
+        B_real = len(idxs)
+        B = min(_pow2_at_least(B_real, 8), self.cfg.device_batch_size)
+        M = max(64, L // max(w // 2, 1))
+        A = max(256, int(L * self.cfg.anchors_per_base))
+        A = _pow2_at_least(A)
+        for chunk_start in range(0, B_real, B):
+            chunk = idxs[chunk_start : chunk_start + B]
+            batch = np.full((B, L), 4, np.uint8)
+            lens = np.zeros(B, np.int32)
+            for bi, ri in enumerate(chunk):
+                c = codes[ri]
+                batch[bi, : len(c)] = c
+                lens[bi] = len(c)
+            mins = sketch_compact(jnp.asarray(batch), jnp.asarray(lens), k, w, M)
+            anchors = collect_anchors(
+                mins,
+                jnp.asarray(lens),
+                self.dev.key_hi,
+                self.dev.key_lo,
+                self.dev.offsets,
+                self.dev.counts,
+                self.dev.pos_rid,
+                self.dev.pos_ps,
+                jnp.int32(self.dev.n_keys),
+                jnp.int32(self.opt.mid_occ),
+                A,
+                k,
+            )
+            f, p = chain_scores(anchors, self._chain_params, self.cfg.chain_window)
+            f = np.asarray(f)
+            p = np.asarray(p)
+            anchors_np = {k2: np.asarray(v) for k2, v in anchors.items()}
+
+            jobs: List[_ExtJob] = []
+            read_regions: List[Tuple[int, List[Region]]] = []
+            for bi, ri in enumerate(chunk):
+                qlen = int(lens[bi])
+                chains = backtrack_chains(
+                    f[bi], p[bi], anchors_np["valid"][bi],
+                    self.opt.min_cnt, self.opt.min_chain_score,
+                )
+                regions = gen_regions(chains, anchors_np, bi, qlen, k)
+                set_parent(regions, self.opt.mask_level, self.opt.mask_len)
+                regions = select_sub(regions, self.opt.pri_ratio, self.opt.best_n)
+                read_regions.append((ri, regions))
+                jobs.extend(self._make_jobs(regions, codes[ri], qlen))
+
+            self._run_jobs(jobs)
+            for ri, regions in read_regions:
+                done = [r for r in regions if hasattr(r, "_mid")]
+                self._finalize(done, codes[ri], cs, md)
+                done.sort(key=lambda r: (r.parent != r.id, -r.dp_score))
+                out[ri] = done
+
+    # ------------------------------------------------------------------
+    def _make_jobs(
+        self, regions: List[Region], codes: np.ndarray, qlen: int
+    ) -> List[_ExtJob]:
+        """Build left/mid/right extension jobs per region (mm_align1
+        structure, single global mid instead of per-anchor segments)."""
+        jobs: List[_ExtJob] = []
+        ref = self.index.ref_codes
+        offs = self.index.seq_offsets
+        bw = self.opt.bw
+        for r in regions:
+            q_al = codes if r.rev == 0 else _revcomp(codes)
+            qs_a = r.qs if r.rev == 0 else qlen - r.qe
+            qe_a = r.qe if r.rev == 0 else qlen - r.qs
+            r._q_al = q_al  # type: ignore[attr-defined]
+            r._qs_a, r._qe_a = qs_a, qe_a  # type: ignore[attr-defined]
+            roff = int(offs[r.rid])
+            rlen = int(self.index.seq_lens[r.rid])
+            # middle: global over the chained span
+            jobs.append(
+                _ExtJob(r, "mid", q_al[qs_a:qe_a], ref[roff + r.rs : roff + r.re])
+            )
+            # left flank: reversed extension toward query start
+            if qs_a > 0:
+                tl0 = min(r.rs, qs_a + bw)
+                if tl0 > 0:
+                    jobs.append(
+                        _ExtJob(
+                            r,
+                            "left",
+                            q_al[:qs_a][::-1],
+                            ref[roff + r.rs - tl0 : roff + r.rs][::-1],
+                        )
+                    )
+                else:
+                    r._left = ([], 0, 0, 0)  # type: ignore[attr-defined]
+            else:
+                r._left = ([], 0, 0, 0)  # type: ignore[attr-defined]
+            # right flank
+            if qe_a < qlen:
+                tl1 = min(rlen - r.re, (qlen - qe_a) + bw)
+                if tl1 > 0:
+                    jobs.append(
+                        _ExtJob(
+                            r, "right", q_al[qe_a:], ref[roff + r.re : roff + r.re + tl1]
+                        )
+                    )
+                else:
+                    r._right = ([], 0, 0, 0)  # type: ignore[attr-defined]
+            else:
+                r._right = ([], 0, 0, 0)  # type: ignore[attr-defined]
+        return jobs
+
+    # ------------------------------------------------------------------
+    def _run_jobs(self, jobs: List[_ExtJob]) -> None:
+        import jax.numpy as jnp
+
+        if not jobs:
+            return
+        # bucket by (QMAX, TMAX, W) size class
+        groups: Dict[Tuple[int, int, int], List[_ExtJob]] = {}
+        for j in jobs:
+            ql, tl = len(j.q), len(j.t)
+            if ql == 0 or tl == 0:
+                self._store_empty(j)
+                continue
+            QMAX = _pow2_at_least(ql, 64)
+            TMAX = _pow2_at_least(tl, 64)
+            drift = abs(ql - tl)
+            W = _pow2_at_least(min(max(64, drift + 64), max(QMAX, TMAX)), 64)
+            groups.setdefault((QMAX, TMAX, W), []).append(j)
+        for (QMAX, TMAX, W), grp in groups.items():
+            J = _pow2_at_least(len(grp), 8)
+            for s in range(0, len(grp), J):
+                sub = grp[s : s + J]
+                q = np.full((J, QMAX), 4, np.uint8)
+                t = np.full((J, TMAX), 4, np.uint8)
+                ql = np.zeros(J, np.int32)
+                tl = np.zeros(J, np.int32)
+                for ji, job in enumerate(sub):
+                    q[ji, : len(job.q)] = job.q
+                    t[ji, : len(job.t)] = job.t
+                    ql[ji] = len(job.q)
+                    tl[ji] = len(job.t)
+                res = extend_dp(
+                    jnp.asarray(q), jnp.asarray(t), jnp.asarray(ql),
+                    jnp.asarray(tl), QMAX, TMAX, W, self._ext_params,
+                )
+                dirs = np.asarray(res["dirs"])
+                best_sc = np.asarray(res["best_sc"])
+                best_i = np.asarray(res["best_i"])
+                best_j = np.asarray(res["best_j"])
+                g_sc = np.asarray(res["g_sc"])
+                g_j = np.asarray(res["g_j"])
+                end_sc = np.asarray(res["end_sc"])
+                for ji, job in enumerate(sub):
+                    self._store_job(
+                        job, dirs[:, ji, :], W,
+                        int(ql[ji]), int(tl[ji]),
+                        int(best_sc[ji]), int(best_i[ji]), int(best_j[ji]),
+                        int(g_sc[ji]), int(g_j[ji]), int(end_sc[ji]),
+                    )
+
+    def _store_empty(self, job: _ExtJob) -> None:
+        r = job.region
+        if job.kind == "mid":
+            r._mid = ([], 0)  # type: ignore[attr-defined]
+        elif job.kind == "left":
+            r._left = ([], 0, 0, 0)  # type: ignore[attr-defined]
+        else:
+            r._right = ([], 0, 0, 0)  # type: ignore[attr-defined]
+
+    def _store_job(
+        self, job, dirs, W, qlen, tlen,
+        best_sc, best_i, best_j, g_sc, g_j, end_sc,
+    ) -> None:
+        r = job.region
+        if job.kind == "mid":
+            c = cig.traceback_one(dirs, qlen, tlen, W, qlen - 1, tlen - 1)
+            r._mid = (c, end_sc)  # type: ignore[attr-defined]
+        else:
+            # extension: prefer reaching the query end (end_bonus rule)
+            use_end = g_sc > -(1 << 27) and g_sc + self.opt.end_bonus >= best_sc
+            if use_end and g_sc > 0:
+                ei, ej, sc = qlen - 1, g_j, g_sc
+            elif best_sc > 0:
+                ei, ej, sc = best_i, best_j, best_sc
+            else:
+                setattr(r, f"_{job.kind}", ([], 0, 0, 0))
+                return
+            c = cig.traceback_one(dirs, qlen, tlen, W, ei, ej)
+            setattr(r, f"_{job.kind}", (c, sc, ei + 1, ej + 1))
+
+    # ------------------------------------------------------------------
+    def _finalize(
+        self, regions: List[Region], codes: np.ndarray, cs: bool, md: bool
+    ) -> None:
+        ref = self.index.ref_codes
+        offs = self.index.seq_offsets
+        qlen = len(codes)
+        for r in regions:
+            mid_c, mid_sc = getattr(r, "_mid", ([], 0))
+            left = getattr(r, "_left", ([], 0, 0, 0))
+            right = getattr(r, "_right", ([], 0, 0, 0))
+            lc, lsc, lq, lt = left
+            rc, rsc, rq, rt = right
+            full = cig.merge_cigars([cig.reverse_cigar(lc), mid_c, rc])
+            r.cigar = full
+            r.dp_score = mid_sc + lsc + rsc
+            r.dp_max = r.dp_score
+            qs_a, qe_a = r._qs_a, r._qe_a  # type: ignore[attr-defined]
+            r.q_st_a = qs_a - lq
+            r.q_en_a = qe_a + rq
+            r.r_st = r.rs - lt
+            r.r_en = r.re + rt
+            # stats over the aligned slices
+            q_al = r._q_al  # type: ignore[attr-defined]
+            roff = int(offs[r.rid])
+            qseg = q_al[r.q_st_a : r.q_en_a]
+            tseg = ref[roff + r.r_st : roff + r.r_en]
+            r.mlen, r.blen, r.nm = cig.cigar_stats(full, qseg, tseg)
+            if cs:
+                r.cs = cig.gen_cs(full, qseg, tseg)
+            if md:
+                r.md = cig.gen_md(full, qseg, tseg)
+            # read-forward query coords
+            if r.rev == 0:
+                r.qs, r.qe = r.q_st_a, r.q_en_a
+            else:
+                r.qs, r.qe = qlen - r.q_en_a, qlen - r.q_st_a
+            r.rs, r.re = r.r_st, r.r_en
+        set_mapq(regions, self.opt)
+
+
+def _revcomp(codes: np.ndarray) -> np.ndarray:
+    return np.where(codes < 4, 3 - codes, codes).astype(np.uint8)[::-1]

@@ -1,0 +1,228 @@
+"""Chain backtracking, region generation, primary marking, mapq.
+
+Host-side O(result-size) stages between the device chaining DP and the
+device extension DP — the TPU-build equivalents of the C core's
+``mm_chain_backtrack`` (N9 tail), ``mm_gen_regs``/``mm_reg_set_coor``,
+``mm_set_parent``/``mm_select_sub`` (N11) and ``mm_set_mapq``
+(SURVEY.md §2b).  All are cheap linear walks over at most a few
+hundred chains per read; the O(n*h) and O(L*W) inner loops stay on
+device.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..config import MapOptions
+
+
+@dataclass
+class Region:
+    """One candidate mapping region (mm_reg1_t analogue)."""
+
+    rev: int
+    rid: int
+    qs: int  # query start, read-forward coords
+    qe: int
+    rs: int  # target start, forward ref strand
+    re: int
+    score: int  # chain score
+    cnt: int  # anchors in chain
+    anchors_qpos: np.ndarray  # ascending, aligned-query coords
+    anchors_rpos: np.ndarray
+    id: int = -1
+    parent: int = -1
+    subsc: int = 0  # best child (secondary) chain score
+    n_sub: int = 0
+    # filled by extension:
+    dp_score: int = 0
+    dp_max: int = 0
+    cigar: Optional[List[Tuple[int, int]]] = None
+    q_st_a: int = 0  # aligned coords in aligned-query space
+    q_en_a: int = 0
+    r_st: int = 0
+    r_en: int = 0
+    mlen: int = 0
+    blen: int = 0
+    nm: int = 0
+    mapq: int = 0
+    cs: Optional[str] = None
+    md: Optional[str] = None
+
+
+def backtrack_chains(
+    f: np.ndarray,
+    p: np.ndarray,
+    valid: np.ndarray,
+    min_cnt: int,
+    min_sc: int,
+) -> List[Tuple[int, List[int]]]:
+    """mm_chain_backtrack semantics: peak-sorted greedy backtracks.
+
+    Returns [(score, [anchor indices ascending])], best first.
+    Anchors of rejected partial chains stay consumed, as in the C code.
+    """
+    n = len(f)
+    cand = np.nonzero((f >= min_sc) & valid)[0]
+    if len(cand) == 0:
+        return []
+    # descending score, ties: larger index first (radix sort order)
+    order = cand[np.lexsort((-cand, -f[cand]))]
+    used = np.zeros(n, bool)
+    chains: List[Tuple[int, List[int]]] = []
+    for end in order:
+        if used[end]:
+            continue
+        path = []
+        i = int(end)
+        while i >= 0 and not used[i]:
+            path.append(i)
+            used[i] = True
+            i = int(p[i])
+        if i < 0:
+            sc = int(f[end])
+        else:
+            sc = int(f[end]) - int(f[i])
+        if len(path) >= min_cnt and sc >= min_sc:
+            chains.append((sc, path[::-1]))
+    return chains
+
+
+def gen_regions(
+    chains: List[Tuple[int, List[int]]],
+    anchors: dict,
+    read_idx: int,
+    qlen: int,
+    span: int,
+) -> List[Region]:
+    """mm_gen_regs / mm_reg_set_coor semantics."""
+    regions: List[Region] = []
+    rev_a = anchors["rev"][read_idx]
+    rid_a = anchors["rid"][read_idx]
+    rpos_a = anchors["rpos"][read_idx]
+    qpos_a = anchors["qpos"][read_idx]
+    for sc, path in chains:
+        first, last = path[0], path[-1]
+        rev = int(rev_a[first])
+        rid = int(rid_a[first])
+        rs = max(int(rpos_a[first]) + 1 - span, 0)
+        re = int(rpos_a[last]) + 1
+        q_first = int(qpos_a[first])
+        q_last = int(qpos_a[last])
+        if rev == 0:
+            qs = q_first + 1 - span
+            qe = q_last + 1
+        else:
+            qs = qlen - (q_last + 1)
+            qe = qlen - (q_first + 1 - span)
+        regions.append(
+            Region(
+                rev=rev,
+                rid=rid,
+                qs=qs,
+                qe=qe,
+                rs=rs,
+                re=re,
+                score=sc,
+                cnt=len(path),
+                anchors_qpos=np.asarray(qpos_a[path]),
+                anchors_rpos=np.asarray(rpos_a[path]),
+            )
+        )
+    return regions
+
+
+def set_parent(
+    regions: List[Region], mask_level: float, mask_len: int
+) -> None:
+    """mm_set_parent: greedy primary marking by query-interval overlap."""
+    if not regions:
+        return
+    for i, r in enumerate(regions):
+        r.id = i
+    order = sorted(
+        range(len(regions)), key=lambda i: (-regions[i].score, i)
+    )
+    primaries: List[int] = []
+    for i in order:
+        r = regions[i]
+        assigned = False
+        for j in primaries:
+            pr = regions[j]
+            if pr.rev == r.rev and pr.rid == r.rid:
+                pass  # overlap rule is on the query interval only
+            s = max(r.qs, pr.qs)
+            e = min(r.qe, pr.qe)
+            ol = max(0, e - s)
+            min_l = min(r.qe - r.qs, pr.qe - pr.qs)
+            if ol > mask_level * min_l and min_l < mask_len:
+                r.parent = pr.id
+                if r.score > pr.subsc:
+                    pr.subsc = r.score
+                pr.n_sub += 1
+                assigned = True
+                break
+        if not assigned:
+            r.parent = r.id
+            primaries.append(i)
+
+
+def select_sub(
+    regions: List[Region], pri_ratio: float, best_n: int
+) -> List[Region]:
+    """mm_select_sub: keep primaries + up to best_n good secondaries."""
+    if pri_ratio <= 0.0:
+        return regions
+    out: List[Region] = []
+    n_2nd = 0
+    by_id = {r.id: r for r in regions}
+    for r in sorted(regions, key=lambda r: (-r.score, r.id)):
+        if r.parent == r.id:
+            out.append(r)
+        else:
+            parent = by_id.get(r.parent)
+            if (
+                parent is not None
+                and r.score >= parent.score * pri_ratio
+                and n_2nd < best_n
+            ):
+                out.append(r)
+                n_2nd += 1
+    return out
+
+
+def set_mapq(regions: List[Region], opt: MapOptions) -> None:
+    """minimap2-style mapq (mm_set_mapq semantics, paper formula).
+
+    mapq = 40 * (1 - f2/f1) * min(1, m/10) * ln(f1), attenuated for
+    low-score/low-count chains, clamped to [0, 60]; secondaries get 0
+    (255 would mean missing).  NB: exact parity with minimap2's mapq
+    is not contractual — the reference forwards whatever the C core
+    computed, and its tests never assert mapq values.
+    """
+    q_coef = 40.0
+    for r in regions:
+        if r.parent != r.id:
+            r.mapq = 0
+            continue
+        if r.score <= 0:
+            r.mapq = 0
+            continue
+        pen_s1 = 1.0 if r.score > 100 else 0.01 * r.score
+        pen_cm = 1.0 if r.cnt > 10 else 0.1 * r.cnt
+        pen = min(pen_s1, pen_cm)
+        subsc = max(r.subsc, opt.min_chain_score)
+        if r.dp_max > 0 and r.dp_score > 0:
+            # use DP scores when alignment was performed
+            f1 = float(r.dp_max)
+            sub = max(float(r.subsc) * opt.a, float(opt.min_chain_score * opt.a))
+            x = sub / f1 if f1 > 0 else 1.0
+        else:
+            f1 = float(r.score)
+            x = float(subsc) / f1
+        mapq = int(pen * q_coef * (1.0 - x) * math.log(f1)) if f1 > 1 else 0
+        mapq = max(0, min(60, mapq))
+        r.mapq = mapq
