@@ -55,7 +55,7 @@ def _gap_cost(l, p: ExtendParams):
     return jnp.minimum(p.q + l * p.e, p.q2 + l * p.e2)
 
 
-@partial(jax.jit, static_argnames=("QMAX", "TMAX", "W", "params"))
+@partial(jax.jit, static_argnames=("QMAX", "TMAX", "W", "params", "score_only"))
 def extend_dp(
     qseq: jnp.ndarray,  # uint8 [J, QMAX]
     tseq: jnp.ndarray,  # uint8 [J, TMAX]
@@ -65,6 +65,7 @@ def extend_dp(
     TMAX: int,
     W: int,
     params: ExtendParams,
+    score_only: bool = False,
 ):
     """Run the banded DP for a batch of jobs.
 
@@ -186,7 +187,12 @@ def extend_dp(
         E2 = jnp.where(cell_ok, E2, NEG)
         F1 = jnp.where(cell_ok, F1, NEG)
         F2 = jnp.where(cell_ok, F2, NEG)
-        dirs = jnp.where(cell_ok, src | e1c | e2c | f1c | f2c, jnp.uint8(0))
+        if score_only:
+            # score-only mode (serving fast path): no traceback tensor,
+            # so HBM traffic is O(W) per diagonal instead of O(S*W)
+            dirs = jnp.zeros((J, 0), jnp.uint8)
+        else:
+            dirs = jnp.where(cell_ok, src | e1c | e2c | f1c | f2c, jnp.uint8(0))
 
         # ---- bests ----------------------------------------------------
         (best_sc, best_i, best_j, g_sc, g_j, end_sc) = best

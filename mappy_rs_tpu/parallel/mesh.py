@@ -1,0 +1,263 @@
+"""Multi-chip execution: device meshes, index sharding, collectives.
+
+The reference's only parallelism is n OS threads over a shared
+read-only index (SURVEY.md §2c).  The TPU-native scaling story
+replaces that with a 2-D `jax.sharding.Mesh`:
+
+  axis "data"  — reads are data-parallel (the map_batch analogue);
+  axis "index" — the minimizer key table is sharded by sorted-key
+                 range (the "reference bucket" sharding of
+                 BASELINE.json config 4) for GRCh38-scale indexes.
+
+Each device looks its reads' minimizers up in its local key-range
+shard, then per-shard anchors are merged with `jax.lax.all_gather`
+over the "index" axis (ICI collective) and re-sorted before chaining —
+exactly the all-gather-hit-merge design from the north star.  Chaining
+and score-only extension then run data-parallel.
+
+`build_sharded_map_step` returns a jitted shard_map'd function that the
+driver's dryrun exercises on a virtual CPU mesh (__graft_entry__.py).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.index import MinimizerIndex
+from ..ops.chain import ChainParams, chain_scores
+from ..ops.extend import ExtendParams, extend_dp
+from ..ops.lookup import collect_anchors
+from ..ops.sketch import sketch_compact
+
+P = jax.sharding.PartitionSpec
+
+
+def make_mesh(n_data: int, n_index: int = 1) -> jax.sharding.Mesh:
+    devices = np.asarray(jax.devices()[: n_data * n_index]).reshape(
+        n_data, n_index
+    )
+    return jax.sharding.Mesh(devices, ("data", "index"))
+
+
+def shard_index_by_key_range(
+    index: MinimizerIndex, n_shards: int
+) -> dict:
+    """Split the sorted key table into n contiguous range shards.
+
+    Returns stacked host arrays with a leading shard axis, each shard
+    padded to the same width with 0xFFFFFFFF key sentinels; position
+    offsets are rebased per shard.
+    """
+    n = len(index.keys)
+    bounds = [int(round(i * n / n_shards)) for i in range(n_shards + 1)]
+    width = max(max(bounds[i + 1] - bounds[i] for i in range(n_shards)), 8)
+    # pad to pow2 for the branchless binary search
+    w2 = 1
+    while w2 < width:
+        w2 <<= 1
+    width = w2
+    key_hi = np.full((n_shards, width), 0xFFFFFFFF, np.uint32)
+    key_lo = np.full((n_shards, width), 0xFFFFFFFF, np.uint32)
+    offsets = np.zeros((n_shards, width), np.int32)
+    counts = np.zeros((n_shards, width), np.int32)
+    n_keys = np.zeros((n_shards,), np.int32)
+    pos_widths = []
+    pos_rid_shards = []
+    pos_ps_shards = []
+    for s in range(n_shards):
+        a, b = bounds[s], bounds[s + 1]
+        ks = index.keys[a:b]
+        key_hi[s, : b - a] = (ks >> np.uint64(32)).astype(np.uint32)
+        key_lo[s, : b - a] = (ks & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        pa = int(index.key_offsets[a])
+        pb = int(index.key_offsets[b])
+        offsets[s, : b - a] = (
+            index.key_offsets[a:b].astype(np.int64) - pa
+        ).astype(np.int32)
+        counts[s, : b - a] = (
+            index.key_offsets[a + 1 : b + 1] - index.key_offsets[a:b]
+        ).astype(np.int32)
+        n_keys[s] = b - a
+        pos = index.positions[pa:pb]
+        pos_rid_shards.append((pos >> np.uint64(32)).astype(np.int32))
+        pos_ps_shards.append((pos & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+        pos_widths.append(pb - pa)
+    pw = max(max(pos_widths), 8)
+    pos_rid = np.zeros((n_shards, pw), np.int32)
+    pos_ps = np.zeros((n_shards, pw), np.uint32)
+    for s in range(n_shards):
+        pos_rid[s, : pos_widths[s]] = pos_rid_shards[s]
+        pos_ps[s, : pos_widths[s]] = pos_ps_shards[s]
+    ref_pad = ((len(index.ref_codes) + 127) // 128 + 1) * 128
+    ref = np.full(ref_pad, 4, np.uint8)
+    ref[: len(index.ref_codes)] = index.ref_codes
+    return {
+        "key_hi": key_hi,
+        "key_lo": key_lo,
+        "offsets": offsets,
+        "counts": counts,
+        "n_keys": n_keys,
+        "pos_rid": pos_rid,
+        "pos_ps": pos_ps,
+        "ref_codes": ref,  # replicated (sharding the ref itself: next round)
+        "seq_offsets": index.seq_offsets.astype(np.int32)[:-1],
+    }
+
+
+def build_sharded_map_step(
+    mesh: jax.sharding.Mesh,
+    k: int,
+    w: int,
+    max_minimizers: int,
+    max_anchors: int,
+    chain_params: ChainParams,
+    ext_params: ExtendParams,
+    mid_occ: int,
+    chain_window: int = 16,
+    ext_window: int = 64,
+):
+    """Jitted full map step over a (data, index) mesh.
+
+    Step signature: step(codes [B, L], lens [B], shard_arrays) ->
+      dict with per-read best chain score / position / strand and a
+      score-only banded extension score around the best chain.
+
+    This is the device-only "decision mode" pipeline (readfish-style:
+    where does this read map, with what confidence) — the CIGAR path
+    additionally runs traceback host-side.
+    """
+    A_loc = max_anchors
+
+    def local_step(codes, lens, sh):
+        # shard_map gives per-device blocks; squeeze the shard axis
+        key_hi = sh["key_hi"][0]
+        key_lo = sh["key_lo"][0]
+        offsets = sh["offsets"][0]
+        counts = sh["counts"][0]
+        n_keys = sh["n_keys"][0]
+        pos_rid = sh["pos_rid"][0]
+        pos_ps = sh["pos_ps"][0]
+        ref_codes = sh["ref_codes"]
+
+        mins = sketch_compact(codes, lens, k, w, max_minimizers)
+        loc = collect_anchors(
+            mins, lens, key_hi, key_lo, offsets, counts, pos_rid, pos_ps,
+            n_keys, jnp.int32(mid_occ), A_loc, k,
+        )
+        # merge per-shard anchors: all-gather over the index axis (ICI)
+        merged = {}
+        for name in ("rev", "rid", "rpos", "qpos"):
+            g = jax.lax.all_gather(loc[name], "index")  # [n_idx, B, A]
+            merged[name] = jnp.reshape(
+                jnp.swapaxes(g, 0, 1), (codes.shape[0], -1)
+            )
+        gv = jax.lax.all_gather(loc["valid"], "index")
+        merged["valid"] = jnp.reshape(
+            jnp.swapaxes(gv, 0, 1), (codes.shape[0], -1)
+        )
+        # re-sort the merged anchors (invalid to the end)
+        sort_first = jnp.where(merged["valid"], merged["rev"], 2)
+        srt = jax.lax.sort(
+            (
+                sort_first,
+                merged["rid"],
+                merged["rpos"],
+                merged["qpos"],
+                merged["valid"].astype(jnp.int32),
+            ),
+            dimension=1,
+            num_keys=4,
+        )
+        anchors = {
+            "rev": srt[0],
+            "rid": srt[1],
+            "rpos": srt[2],
+            "qpos": srt[3],
+            "valid": srt[4].astype(bool),
+        }
+        f, p = chain_scores(anchors, chain_params, chain_window)
+        fv = jnp.where(anchors["valid"], f, -(1 << 30))
+        best = jnp.argmax(fv, axis=1)
+        rows = jnp.arange(codes.shape[0])
+        best_score = fv[rows, best]
+        best_rpos = anchors["rpos"][rows, best]
+        best_qpos = anchors["qpos"][rows, best]
+        best_rev = anchors["rev"][rows, best]
+        best_rid = anchors["rid"][rows, best]
+
+        # score-only banded extension of the whole read against a ref
+        # window on the best chain's diagonal (device-only fast path)
+        L = codes.shape[1]
+        W = ext_window
+        TWIN = L + W
+        # global concatenated-ref offset of query position 0
+        diag_start = sh["seq_offsets"][best_rid] + best_rpos - best_qpos
+        start = jnp.clip(
+            diag_start - W // 2, 0, max(ref_codes.shape[0] - TWIN, 0)
+        )
+        twin = jax.vmap(
+            lambda s: jax.lax.dynamic_slice_in_dim(ref_codes, s, TWIN)
+        )(start)
+        q_al = jnp.where(
+            best_rev[:, None] == 1,
+            _revcomp_batch(codes, lens),
+            codes,
+        )
+        ext = extend_dp(
+            q_al, twin, lens,
+            jnp.minimum(lens + W, TWIN), L, TWIN, W,
+            ext_params, score_only=True,
+        )
+        return {
+            "chain_score": best_score,
+            "rev": best_rev,
+            "rid": best_rid,
+            "rpos": best_rpos,
+            "ext_score": ext["best_sc"],
+            "ext_end_t": start + ext["best_j"] + 1,
+        }
+
+    shard_specs = {
+        "key_hi": P("index", None),
+        "key_lo": P("index", None),
+        "offsets": P("index", None),
+        "counts": P("index", None),
+        "n_keys": P("index"),
+        "pos_rid": P("index", None),
+        "pos_ps": P("index", None),
+        "ref_codes": P(),
+        "seq_offsets": P(),
+    }
+    out_spec = P("data")
+    step = jax.jit(
+        jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P("data", None), P("data"), shard_specs),
+            out_specs={
+                "chain_score": out_spec,
+                "rev": out_spec,
+                "rid": out_spec,
+                "rpos": out_spec,
+                "ext_score": out_spec,
+                "ext_end_t": out_spec,
+            },
+            check_vma=False,
+        )
+    )
+    return step
+
+
+def _revcomp_batch(codes: jnp.ndarray, lens: jnp.ndarray) -> jnp.ndarray:
+    """Per-read reverse complement within true length, padding stays 4."""
+    B, L = codes.shape
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    src = lens[:, None] - 1 - pos
+    src_c = jnp.clip(src, 0, L - 1)
+    g = jnp.take_along_axis(codes, src_c, axis=1)
+    comp = jnp.where(g < 4, 3 - g, g)
+    return jnp.where(src >= 0, comp, 4).astype(codes.dtype)
