@@ -263,13 +263,62 @@ class AlignmentEngine:
                 g_sc = np.asarray(res["g_sc"])
                 g_j = np.asarray(res["g_j"])
                 end_sc = np.asarray(res["end_sc"])
+                # decide per-job traceback start cell + score
+                NEGISH = -(1 << 27)
+                starts = []  # (job_idx, kind, start_i, start_j, score)
                 for ji, job in enumerate(sub):
-                    self._store_job(
-                        job, dirs[:, ji, :], W,
-                        int(ql[ji]), int(tl[ji]),
-                        int(best_sc[ji]), int(best_i[ji]), int(best_j[ji]),
-                        int(g_sc[ji]), int(g_j[ji]), int(end_sc[ji]),
+                    if job.kind == "mid":
+                        if int(end_sc[ji]) <= NEGISH:
+                            # end cell unreachable within the band
+                            self._store_empty(sub[ji])
+                            continue
+                        starts.append((ji, int(ql[ji]) - 1, int(tl[ji]) - 1,
+                                       int(end_sc[ji])))
+                    else:
+                        use_end = (
+                            int(g_sc[ji]) > NEGISH
+                            and int(g_sc[ji]) + self.opt.end_bonus
+                            >= int(best_sc[ji])
+                        )
+                        if use_end and int(g_sc[ji]) > 0:
+                            starts.append((ji, int(ql[ji]) - 1, int(g_j[ji]),
+                                           int(g_sc[ji])))
+                        elif int(best_sc[ji]) > 0:
+                            starts.append((ji, int(best_i[ji]),
+                                           int(best_j[ji]),
+                                           int(best_sc[ji])))
+                        else:
+                            self._store_empty(sub[ji])
+                # batched native traceback; python fallback
+                cigs = None
+                if starts:
+                    from .. import native
+
+                    idxs = np.asarray([s[0] for s in starts], np.int32)
+                    si = np.asarray([s[1] for s in starts], np.int32)
+                    sj = np.asarray([s[2] for s in starts], np.int32)
+                    cigs = native.traceback_batch(
+                        np.ascontiguousarray(dirs[:, idxs, :]),
+                        ql[idxs], tl[idxs], si, sj,
+                        max_ops=2 * (QMAX + TMAX),
                     )
+                    if cigs is None:
+                        cigs = [
+                            cig.traceback_one(
+                                dirs[:, ji, :], int(ql[ji]), int(tl[ji]),
+                                W, s_i, s_j,
+                            )
+                            for (ji, s_i, s_j, _) in starts
+                        ]
+                for (ji, s_i, s_j, sc), c in zip(starts, cigs or []):
+                    job = sub[ji]
+                    if job.kind == "mid":
+                        job.region._mid = (c, sc)  # type: ignore[attr-defined]
+                    else:
+                        setattr(
+                            job.region, f"_{job.kind}",
+                            (c, sc, s_i + 1, s_j + 1),
+                        )
 
     def _store_empty(self, job: _ExtJob) -> None:
         r = job.region
@@ -279,27 +328,6 @@ class AlignmentEngine:
             r._left = ([], 0, 0, 0)  # type: ignore[attr-defined]
         else:
             r._right = ([], 0, 0, 0)  # type: ignore[attr-defined]
-
-    def _store_job(
-        self, job, dirs, W, qlen, tlen,
-        best_sc, best_i, best_j, g_sc, g_j, end_sc,
-    ) -> None:
-        r = job.region
-        if job.kind == "mid":
-            c = cig.traceback_one(dirs, qlen, tlen, W, qlen - 1, tlen - 1)
-            r._mid = (c, end_sc)  # type: ignore[attr-defined]
-        else:
-            # extension: prefer reaching the query end (end_bonus rule)
-            use_end = g_sc > -(1 << 27) and g_sc + self.opt.end_bonus >= best_sc
-            if use_end and g_sc > 0:
-                ei, ej, sc = qlen - 1, g_j, g_sc
-            elif best_sc > 0:
-                ei, ej, sc = best_i, best_j, best_sc
-            else:
-                setattr(r, f"_{job.kind}", ([], 0, 0, 0))
-                return
-            c = cig.traceback_one(dirs, qlen, tlen, W, ei, ej)
-            setattr(r, f"_{job.kind}", (c, sc, ei + 1, ej + 1))
 
     # ------------------------------------------------------------------
     def _finalize(

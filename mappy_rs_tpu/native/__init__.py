@@ -1,0 +1,112 @@
+"""ctypes loader for the C++ host-runtime (with auto-build + fallback).
+
+The reference's runtime layers are native (Rust + minimap2 C); here the
+device does the O(n) compute and this module supplies native host inner
+loops: traceback walks over the packed direction tensor, ASCII base
+encoding, CIGAR stats.  If the shared library is absent it is built
+once with `make`; if that fails, callers fall back to the numpy/python
+implementations in ops/cigar.py (same results, slower).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libmappy_native.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO):
+        try:
+            subprocess.run(
+                ["make", "-C", _DIR, "-s"],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.encode_ascii.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+    ]
+    lib.traceback_batch.argtypes = [
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int,
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def encode(seq: str) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    raw = seq.encode("ascii", errors="replace")
+    out = np.empty(len(raw), np.uint8)
+    lib.encode_ascii(raw, len(raw), out)
+    return out
+
+
+def traceback_batch(
+    dirs: np.ndarray,  # [S, J, W] uint8, C contiguous
+    qlen: np.ndarray,
+    tlen: np.ndarray,
+    start_i: np.ndarray,
+    start_j: np.ndarray,
+    max_ops: int = 4096,
+) -> Optional[List[List[Tuple[int, int]]]]:
+    """Batched traceback; returns per-job [(count, op)] lists, or None
+    if the native library is unavailable or any job overflowed."""
+    lib = _load()
+    if lib is None:
+        return None
+    S, J, W = dirs.shape
+    dirs = np.ascontiguousarray(dirs)
+    out_ops = np.zeros((J, max_ops), np.int32)
+    out_n = np.zeros(J, np.int32)
+    lib.traceback_batch(
+        dirs, S, J, W,
+        np.ascontiguousarray(qlen, np.int32),
+        np.ascontiguousarray(tlen, np.int32),
+        np.ascontiguousarray(start_i, np.int32),
+        np.ascontiguousarray(start_j, np.int32),
+        out_ops.reshape(-1), out_n, max_ops,
+    )
+    if (out_n < 0).any():
+        return None
+    res = []
+    for j in range(J):
+        ops = out_ops[j, : out_n[j]]
+        res.append([(int(v) >> 4, int(v) & 0xF) for v in ops])
+    return res
