@@ -242,8 +242,9 @@ class AlignerConfig:
     length_buckets: tuple[int, ...] = (512, 2048, 8192, 32768, 131072)
     # per-read anchor capacity per bucket (scaled with length)
     anchors_per_base: float = 0.25
-    # chaining predecessor window (mm's max_chain_iter analogue, lock-step)
-    chain_window: int = 64
+    # chaining block size C (mm's max_chain_iter analogue; predecessor
+    # reach is [1, 2C) anchors back in the block max-plus DP)
+    chain_window: int = 32
 
     def replace(self, **kw) -> "AlignerConfig":
         return dataclasses.replace(self, **kw)

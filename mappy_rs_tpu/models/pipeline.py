@@ -21,7 +21,7 @@ import numpy as np
 from ..config import AlignerConfig, MapOptions
 from ..index.index import MinimizerIndex
 from ..ops import cigar as cig
-from ..ops.chain import ChainParams, chain_scores
+from ..ops.chain import ChainParams, chain_scores_block
 from ..ops.extend import ExtendParams, extend_dp
 from ..ops.lookup import collect_anchors
 from ..ops.regions import (
@@ -142,7 +142,9 @@ class AlignmentEngine:
                 A,
                 k,
             )
-            f, p = chain_scores(anchors, self._chain_params, self.cfg.chain_window)
+            f, p = chain_scores_block(
+                anchors, self._chain_params, self.cfg.chain_window
+            )
             f = np.asarray(f)
             p = np.asarray(p)
             anchors_np = {k2: np.asarray(v) for k2, v in anchors.items()}

@@ -140,3 +140,143 @@ def chain_scores(anchors: dict, params: ChainParams, window: int = 64):
     f = jnp.transpose(f_t)  # [B, A]
     p = jnp.transpose(p_t)
     return f, p
+
+
+def _pair_scores_grid(cur, win, p: ChainParams):
+    """comput_sc with broadcasting: cur fields [..., 1, C] (or [B, A, 1])
+    vs win fields [..., 2C, C] — any mutually broadcastable shapes."""
+    dq = cur["qpos"] - win["qpos"]
+    dr = cur["rpos"] - win["rpos"]
+    ok = (
+        (cur["rev"] == win["rev"])
+        & (cur["rid"] == win["rid"])
+        & win["valid"]
+        & cur["valid"]
+        & (dq > 0)
+        & (dq <= p.max_dist_x)
+        & (dq <= p.max_dist_y)
+        & (dr > 0)
+        & (dr <= p.max_dist_x)
+    )
+    dd = jnp.abs(dr - dq)
+    ok = ok & (dd <= p.bw)
+    dg = jnp.minimum(dr, dq)
+    sc = jnp.minimum(dg, p.q_span)
+    lin_pen = p.chn_pen_gap * dd.astype(jnp.float32) + p.chn_pen_skip * dg.astype(
+        jnp.float32
+    )
+    log_pen = jnp.where(dd >= 1, mg_log2((dd + 1).astype(jnp.float32)), 0.0)
+    pen = (lin_pen + 0.5 * log_pen).astype(_I32)
+    sc = jnp.where((dd != 0) | (dg > p.q_span), sc - pen, sc)
+    return jnp.where(ok, sc, NEG_INF)
+
+
+@partial(jax.jit, static_argnames=("block",))
+def chain_scores_block(anchors: dict, params: ChainParams, block: int = 32):
+    """Block max-plus chaining DP — the TPU-fast formulation.
+
+    Equivalent recurrence to chain_scores but restructured so the
+    sequential dimension is anchor BLOCKS of size C, not anchors:
+
+      - ALL pairwise edge scores are computed once, outside the scan,
+        as a dense [n_blocks, B, 2C, C] broadcast (prev-block +
+        in-block edges per block) — pure elementwise VPU work;
+      - the scan consumes the edge blocks as xs; each step applies the
+        prev-block contribution as one max-plus vec-mat and closes the
+        in-block dependency with C-1 Bellman iterations of [B, C, C]
+        elementwise max;
+      - predecessors are recovered inside the same step: p[i] =
+        largest j in the window with f[j] + sc(j, i) == f[i]
+        (minimap2's largest-j tie-break), p = -1 where f[i] == q_span.
+
+    The predecessor window (block reach, [1, 2C) anchors back) differs
+    slightly from chain_scores' fixed H; both are heuristic bounds of
+    the same DP, like minimap2's max_chain_iter.
+
+    NB: deliberately avoids dynamic_slice-in-scan and 2-D fancy
+    gathers, which compile pathologically slowly on the TPU backend;
+    everything here is static reshapes, broadcasts and reductions.
+    """
+    rev, rid = anchors["rev"], anchors["rid"]
+    rpos, qpos = anchors["rpos"], anchors["qpos"]
+    valid = anchors["valid"]
+    B, A = rpos.shape
+    C = block
+    n_blocks = (A + C - 1) // C
+    A_pad = n_blocks * C
+    q_span = jnp.int32(params.q_span)
+    NB = n_blocks
+
+    def pad(x, fill):
+        return jnp.concatenate(
+            [
+                jnp.full((B, C), fill, x.dtype),
+                x,
+                jnp.full((B, A_pad - A), fill, x.dtype),
+            ],
+            axis=1,
+        )
+
+    def blocks_of(x, fill):
+        """[B, C+A_pad] padded -> cur [NB, B, C] and win [NB, B, 2C]
+        via static reshapes/concats only."""
+        xp = pad(x, fill)
+        cur = jnp.moveaxis(xp[:, C:].reshape(B, NB, C), 1, 0)
+        prev = jnp.moveaxis(xp[:, :A_pad].reshape(B, NB, C), 1, 0)
+        win = jnp.concatenate([prev, cur], axis=2)  # [NB, B, 2C]
+        return cur, win
+
+    cur_f, win_f = {}, {}
+    for name, x, fill in (
+        ("rev", rev, 0),
+        ("rid", rid, 0),
+        ("rpos", rpos, 0),
+        ("qpos", qpos, 0),
+    ):
+        cur_f[name], win_f[name] = blocks_of(x, jnp.array(fill, x.dtype))
+    cur_v, win_v = blocks_of(valid, jnp.array(False))
+    cur_f["valid"], win_f["valid"] = cur_v, win_v
+
+    # dense edge blocks: [NB, B, 2C, C], rows=window anchors, cols=cur
+    E = _pair_scores_grid(
+        {k: v[:, :, None, :] for k, v in cur_f.items()},
+        {k: v[:, :, :, None] for k, v in win_f.items()},
+        params,
+    )
+    init = jnp.where(cur_f["valid"], q_span, NEG_INF)  # [NB, B, C]
+    # absolute anchor index of window row r in block b is row_start + r
+    row_start = jnp.arange(NB, dtype=_I32) * C - C  # [NB]
+
+    def block_step(f_prev, xs):
+        E_b, init_b, row_start_b = xs  # [B,2C,C], [B,C], scalar
+        ok = E_b > NEG_INF
+        prev_tot = jnp.max(
+            jnp.where(ok[:, :C, :], f_prev[:, :, None] + E_b[:, :C, :], NEG_INF),
+            axis=1,
+        )
+        F = jnp.maximum(init_b, prev_tot)
+        M = E_b[:, C:, :]
+        okM = ok[:, C:, :]
+        for _ in range(C - 1):
+            hop = jnp.max(jnp.where(okM, F[:, :, None] + M, NEG_INF), axis=1)
+            F = jnp.maximum(F, hop)
+        # predecessor recovery within the same window
+        f_win = jnp.concatenate([f_prev, F], axis=1)  # [B, 2C]
+        tot = jnp.where(ok, f_win[:, :, None] + E_b, NEG_INF)
+        hit = (tot == F[:, None, :]) & (F[:, None, :] > q_span)
+        # largest j wins ties: scan rows reversed, argmax takes first
+        r_rev = jnp.argmax(hit[:, ::-1, :], axis=1).astype(_I32)
+        any_hit = jnp.any(hit, axis=1)
+        r = (2 * C - 1) - r_rev
+        p = jnp.where(any_hit, row_start_b + r, -1)
+        return F, (F, p)
+
+    f0 = jnp.full((B, C), NEG_INF, _I32)
+    _, (f_blocks, p_blocks) = jax.lax.scan(
+        block_step, f0, (E, init, row_start)
+    )
+    f = jnp.moveaxis(f_blocks, 0, 1).reshape(B, A_pad)[:, :A]
+    p = jnp.moveaxis(p_blocks, 0, 1).reshape(B, A_pad)[:, :A]
+    f = jnp.where(valid, f, NEG_INF)
+    p = jnp.where(valid & (p < A), p, -1)
+    return f, p

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..index.index import MinimizerIndex
-from ..ops.chain import ChainParams, chain_scores
+from ..ops.chain import ChainParams, chain_scores_block
 from ..ops.extend import ExtendParams, extend_dp
 from ..ops.lookup import collect_anchors
 from ..ops.sketch import sketch_compact
@@ -179,7 +179,7 @@ def build_sharded_map_step(
             "qpos": srt[3],
             "valid": srt[4].astype(bool),
         }
-        f, p = chain_scores(anchors, chain_params, chain_window)
+        f, p = chain_scores_block(anchors, chain_params, chain_window)
         fv = jnp.where(anchors["valid"], f, -(1 << 30))
         best = jnp.argmax(fv, axis=1)
         rows = jnp.arange(codes.shape[0])
