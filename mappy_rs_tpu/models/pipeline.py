@@ -22,6 +22,7 @@ from ..config import AlignerConfig, MapOptions
 from ..index.index import MinimizerIndex
 from ..ops import cigar as cig
 from ..ops.chain import ChainParams, chain_scores_block
+from ..ops.chain_pallas import chain_scores_pallas
 from ..ops.extend import ExtendParams, extend_dp
 from ..ops.lookup import collect_anchors
 from ..ops.regions import (
@@ -68,6 +69,9 @@ class AlignmentEngine:
             a=opt.a, b=opt.b, q=opt.q, e=opt.e, q2=opt.q2, e2=opt.e2,
             sc_ambi=opt.sc_ambi,
         )
+        # band width class for flank extensions; same class as most mid
+        # jobs so extension job groups share compiled kernels
+        self.flank_band = 128
         max_gap_ref = opt.max_gap_ref if opt.max_gap_ref >= 0 else opt.max_gap
         self._chain_params = ChainParams(
             max_dist_x=max_gap_ref,
@@ -142,9 +146,16 @@ class AlignmentEngine:
                 A,
                 k,
             )
-            f, p = chain_scores_block(
-                anchors, self._chain_params, self.cfg.chain_window
-            )
+            # TPU: hand-written Mosaic kernel (predictable compiles,
+            # H=128 window); elsewhere: the XLA block formulation
+            import jax
+
+            if jax.default_backend() == "tpu":
+                f, p = chain_scores_pallas(anchors, self._chain_params)
+            else:
+                f, p = chain_scores_block(
+                    anchors, self._chain_params, self.cfg.chain_window
+                )
             f = np.asarray(f)
             p = np.asarray(p)
             anchors_np = {k2: np.asarray(v) for k2, v in anchors.items()}
@@ -179,7 +190,9 @@ class AlignmentEngine:
         jobs: List[_ExtJob] = []
         ref = self.index.ref_codes
         offs = self.index.seq_offsets
-        bw = self.opt.bw
+        # flank ref overhang: the static band covers gaps up to ~W/2,
+        # so a wider ref window than q + W/2 is unreachable anyway
+        bw = min(self.opt.bw, self.flank_band // 2)
         for r in regions:
             q_al = codes if r.rev == 0 else _revcomp(codes)
             qs_a = r.qs if r.rev == 0 else qlen - r.qe
@@ -239,7 +252,15 @@ class AlignmentEngine:
             QMAX = _pow2_at_least(ql, 64)
             TMAX = _pow2_at_least(tl, 64)
             drift = abs(ql - tl)
-            W = _pow2_at_least(min(max(64, drift + 64), max(QMAX, TMAX)), 64)
+            # static band: lanes cover j-i in ~[-W/2, W/2); a global
+            # job's end cell sits at j-i = tlen-qlen, so W >= 2*drift
+            if j.kind == "mid":
+                W = _pow2_at_least(max(128, 2 * drift + 128), 128)
+            else:
+                # flank t-window is deliberately longer than q (ref
+                # overhang); the band covers gaps up to ~flank_band/2
+                W = self.flank_band
+            W = min(W, _pow2_at_least(QMAX + TMAX, 128))
             groups.setdefault((QMAX, TMAX, W), []).append(j)
         for (QMAX, TMAX, W), grp in groups.items():
             J = _pow2_at_least(len(grp), 8)
@@ -254,10 +275,17 @@ class AlignmentEngine:
                     t[ji, : len(job.t)] = job.t
                     ql[ji] = len(job.q)
                     tl[ji] = len(job.t)
-                res = extend_dp(
-                    jnp.asarray(q), jnp.asarray(t), jnp.asarray(ql),
-                    jnp.asarray(tl), QMAX, TMAX, W, self._ext_params,
-                )
+                import jax
+
+                if jax.default_backend() == "tpu":
+                    from ..ops.extend_pallas import extend_dp_pallas
+
+                    res = extend_dp_pallas(q, t, ql, tl, W, self._ext_params)
+                else:
+                    res = extend_dp(
+                        jnp.asarray(q), jnp.asarray(t), jnp.asarray(ql),
+                        jnp.asarray(tl), QMAX, TMAX, W, self._ext_params,
+                    )
                 dirs = np.asarray(res["dirs"])
                 best_sc = np.asarray(res["best_sc"])
                 best_i = np.asarray(res["best_i"])

@@ -22,15 +22,11 @@ constexpr uint8_t F1_CONT = 0x20;
 constexpr uint8_t F2_CONT = 0x40;
 
 inline int band_lo(int s, int qlen, int tlen, int W) {
-  int denom = qlen + tlen - 2;
-  if (denom < 1) denom = 1;
-  long ci = (long)s * (qlen - 1) / denom;
-  long lo = ci - W / 2;
-  if (lo < 0) lo = 0;
-  long hi = qlen - 1;
-  if (hi < 0) hi = 0;
-  if (lo > hi) lo = hi;
-  return (int)lo;
+  // static anti-diagonal band; must match ops/extend.py band_lo_host
+  (void)qlen;
+  (void)tlen;
+  long lo = (long)(s / 2) - W / 2 + 1;
+  return lo < 0 ? 0 : (int)lo;
 }
 
 }  // namespace

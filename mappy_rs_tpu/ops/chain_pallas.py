@@ -1,0 +1,189 @@
+"""Chaining DP as a Pallas TPU kernel.
+
+The XLA formulations (ops/chain.py) are kept as CPU/reference
+implementations; on TPU the backend's XLA compiler exhibits
+super-linear compile blowups on chained rank-3 reductions inside
+scans, so the production chain kernel is hand-written for the Mosaic
+compiler instead.
+
+Mosaic-native formulation (respecting the (8,128) tiling rules — all
+dynamic VMEM slices are 128-aligned):
+
+  grid = one step per 128-anchor block (sequential on core);
+  the block's predecessor window is the previous block + the block
+  itself, read as lane-aligned [B, 2C] vectors;
+  an inner fori walks the 128 anchors: the current anchor's fields are
+  extracted with a masked lane-reduction (no unaligned gather), the
+  [B, 2C] candidate scores are evaluated on the VPU, and the running
+  f/p vectors are updated with a lane-mask select (no unaligned
+  store).  The f array persists across blocks in a VMEM scratch.
+
+Window semantics: predecessors are the H=128 anchors preceding each
+anchor (exactly chain_scores' fixed-H window with H=128).  Scores are
+identical to ops/chain.py:_pair_scores (same gates, same bit-trick
+log2, same truncation); minimap2's largest-j tie-break.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .chain import ChainParams
+
+_I32 = jnp.int32
+NEG_INF = -(1 << 30)
+C = 128  # anchor block width == predecessor window (lane-aligned)
+
+
+def _mg_log2_f32(x):
+    z = pltpu.bitcast(x, jnp.int32)
+    log_2 = ((z >> 23) & 255) - 128
+    z2 = (z & ~(255 << 23)) + (127 << 23)
+    zf = pltpu.bitcast(z2, jnp.float32)
+    return log_2.astype(jnp.float32) + (
+        (-0.34484843 * zf + 2.02466578) * zf - 0.67487759
+    )
+
+
+def _make_kernel(B: int, params: ChainParams):
+    p = params
+    q_span = p.q_span
+
+    def kernel(rev_ref, rid_ref, rpos_ref, qpos_ref, valid_ref,
+               f_out, p_out, f_scr):
+        b = pl.program_id(0)
+
+        @pl.when(b == 0)
+        def _():
+            f_scr[:, :] = jnp.full((B, C), NEG_INF, _I32)
+
+        start = pl.multiple_of(b * C, C)  # padded window start
+        win = {
+            "rev": rev_ref[:, pl.ds(start, 2 * C)],
+            "rid": rid_ref[:, pl.ds(start, 2 * C)],
+            "rpos": rpos_ref[:, pl.ds(start, 2 * C)],
+            "qpos": qpos_ref[:, pl.ds(start, 2 * C)],
+            "valid": valid_ref[:, pl.ds(start, 2 * C)],
+        }
+        f_prev = f_scr[:, :]  # [B, C] final scores of previous block
+        lane2 = jax.lax.broadcasted_iota(_I32, (B, 2 * C), 1)
+        lane1 = jax.lax.broadcasted_iota(_I32, (B, C), 1)
+        anchor_base = b * C - C  # absolute index of window lane 0
+
+        def body(i, carry):
+            f_cur, p_cur = carry  # [B, C] each
+
+            def col(v):  # current anchor's field, [B, 1]
+                return jnp.sum(
+                    jnp.where(lane2 == C + i, v, 0), axis=1, keepdims=True
+                )
+
+            cq = col(win["qpos"])
+            cr = col(win["rpos"])
+            c_rev = col(win["rev"])
+            c_rid = col(win["rid"])
+            c_val = col(win["valid"])
+
+            dq = cq - win["qpos"]
+            dr = cr - win["rpos"]
+            ok = (
+                (c_rev == win["rev"])
+                & (c_rid == win["rid"])
+                & (win["valid"] > 0)
+                & (c_val > 0)
+                & (dq > 0)
+                & (dq <= p.max_dist_x)
+                & (dq <= p.max_dist_y)
+                & (dr > 0)
+                & (dr <= p.max_dist_x)
+            )
+            dd = jnp.abs(dr - dq)
+            ok = ok & (dd <= p.bw)
+            # predecessor lanes: [i, C+i) == anchors [abs_i - C, abs_i)
+            ok = ok & (lane2 >= i) & (lane2 < C + i)
+            dg = jnp.minimum(dr, dq)
+            sc = jnp.minimum(dg, q_span)
+            lin_pen = p.chn_pen_gap * dd.astype(jnp.float32) + (
+                p.chn_pen_skip * dg.astype(jnp.float32)
+            )
+            log_pen = jnp.where(
+                dd >= 1, _mg_log2_f32((dd + 1).astype(jnp.float32)), 0.0
+            )
+            pen = (lin_pen + 0.5 * log_pen).astype(_I32)
+            sc = jnp.where((dd != 0) | (dg > q_span), sc - pen, sc)
+            sc = jnp.where(ok, sc, NEG_INF)
+
+            f_win = jnp.concatenate([f_prev, f_cur], axis=1)  # [B, 2C]
+            tot = jnp.where(sc > NEG_INF, f_win + sc, NEG_INF)
+            best = jnp.max(tot, axis=1, keepdims=True)  # [B, 1]
+            arg = jnp.max(
+                jnp.where(tot == best, lane2, -1), axis=1, keepdims=True
+            )  # largest-j tie break (lane order == anchor order)
+            take = best > q_span
+            f_i = jnp.where(take, best, q_span)
+            f_i = jnp.where(c_val > 0, f_i, NEG_INF)
+            p_i = jnp.where(take & (c_val > 0), anchor_base + arg, -1)
+            upd = lane1 == i
+            f_cur = jnp.where(upd, f_i, f_cur)
+            p_cur = jnp.where(upd, p_i, p_cur)
+            return f_cur, p_cur
+
+        f_cur0 = jnp.full((B, C), NEG_INF, _I32)
+        p_cur0 = jnp.full((B, C), -1, _I32)
+        f_cur, p_cur = jax.lax.fori_loop(0, C, body, (f_cur0, p_cur0))
+        f_scr[:, :] = f_cur
+        f_out[:, pl.ds(pl.multiple_of(b * C, C), C)] = f_cur
+        p_out[:, pl.ds(pl.multiple_of(b * C, C), C)] = p_cur
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("params", "window"))
+def chain_scores_pallas(anchors: dict, params: ChainParams, window: int = C):
+    """Pallas chain DP; fixed window H == 128 (`window` accepted for
+    interface parity; the kernel always uses the lane-aligned 128)."""
+    rev = anchors["rev"].astype(_I32)
+    rid = anchors["rid"].astype(_I32)
+    rpos = anchors["rpos"].astype(_I32)
+    qpos = anchors["qpos"].astype(_I32)
+    valid = anchors["valid"].astype(_I32)
+    B, A = rpos.shape
+    NB = (A + C - 1) // C
+    A_pad = NB * C
+
+    def pad(x, fill):
+        return jnp.concatenate(
+            [
+                jnp.full((B, C), fill, x.dtype),
+                x,
+                jnp.full((B, A_pad - A), fill, x.dtype),
+            ],
+            axis=1,
+        )
+
+    args = (pad(rev, 0), pad(rid, 0), pad(rpos, 0), pad(qpos, 0), pad(valid, 0))
+    kernel = _make_kernel(B, params)
+    f, p = pl.pallas_call(
+        kernel,
+        grid=(NB,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, A_pad), _I32),
+            jax.ShapeDtypeStruct((B, A_pad), _I32),
+        ),
+        scratch_shapes=[pltpu.VMEM((B, C), _I32)],
+        interpret=jax.default_backend() != "tpu",
+    )(*args)
+    f = f[:, :A]
+    p = p[:, :A]
+    f = jnp.where(anchors["valid"], f, NEG_INF)
+    p = jnp.where(anchors["valid"] & (p < A), p, -1)
+    return f, p

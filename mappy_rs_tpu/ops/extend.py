@@ -87,10 +87,11 @@ def extend_dp(
     s_last = qlen + tlen - 2  # diagonal of the global end cell
 
     def lo_of(s):
-        # band start row on diagonal s, following the (0,0)->(Q,T) line
-        denom = jnp.maximum(qlen + tlen - 2, 1)
-        ci = (s * (qlen - 1)) // denom
-        return jnp.clip(ci - W // 2, 0, jnp.maximum(qlen - 1, 0))
+        # static anti-diagonal band (job-independent): lanes cover
+        # j - i in ~[-W/2, W/2); global jobs must be bucketed with
+        # W >= 2*|tlen-qlen| + margin (see pipeline job sizing)
+        lo = s // 2 - W // 2 + 1
+        return jnp.maximum(lo, 0) * jnp.ones_like(qlen)
 
     def shift_back(x, fill):  # out[d] = x[d-1]
         return jnp.concatenate(
@@ -247,8 +248,6 @@ def extend_dp(
 
 
 def band_lo_host(s: int, qlen: int, tlen: int, W: int):
-    """Host mirror of the in-kernel band placement (for traceback)."""
-    denom = max(qlen + tlen - 2, 1)
-    ci = (s * (qlen - 1)) // denom
-    lo = min(max(ci - W // 2, 0), max(qlen - 1, 0))
-    return lo
+    """Host mirror of the in-kernel band placement (for traceback).
+    qlen/tlen accepted for interface stability; the band is static."""
+    return max(s // 2 - W // 2 + 1, 0)

@@ -1,0 +1,276 @@
+"""Banded extension DP as a Pallas TPU kernel.
+
+Production path for the hottest kernel (ksw2-class banded dual-affine
+DP, SURVEY.md §2b N10).  The XLA scan in ops/extend.py stays as the
+CPU/reference implementation; this kernel targets the Mosaic compiler
+directly for predictable compile times and speed-of-light VPU
+execution.
+
+Key layout decision: Mosaic requires lane-aligned dynamic slices, but
+the band slides by one row every other anti-diagonal.  Instead of
+in-kernel gathers, the HOST stages the query/target bases in
+DIAGONAL-MAJOR order — qd[s, :, d] = q[:, lo(s)+d] and
+td[s, :, d] = t[:, s-lo(s)-d] — which is two contiguous numpy slices
+per diagonal (C++-speed memcpy, no device gathers at all).  The kernel
+then streams one [J, W] slab per grid step through VMEM BlockSpecs
+while the five DP state vectors live in VMEM scratch.
+
+Band, scores, direction-byte layout and all tie-breaking match
+ops/extend.py exactly; tests assert bit-identical dirs/scores against
+it (CPU interpret mode) and against brute force.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .extend import ExtendParams, band_lo_host
+
+_I32 = jnp.int32
+NEG = -(1 << 28)
+
+
+def stage_diagonals(q: np.ndarray, t: np.ndarray, W: int):
+    """Host prep: [J,Q],[J,T] codes -> diagonal-major int32 [S,J,W] pair
+    (int32 staging: Mosaic's sub-word relayout path is buggy on this
+    backend; 4x HBM for the staging buffers is cheap)."""
+    J, Q = q.shape
+    T = t.shape[1]
+    S = Q + T - 1
+    qd = np.full((S, J, W), 4, np.int32)
+    td = np.full((S, J, W), 4, np.int32)
+    for s in range(S):
+        lo = band_lo_host(s, Q, T, W)
+        i_hi = min(lo + W, Q)
+        if i_hi > lo:
+            qd[s, :, : i_hi - lo] = q[:, lo:i_hi]
+        # j = s - i for i in [lo, lo+W): a reversed slice of t
+        j_top = s - lo  # j at lane 0
+        j_lo = max(j_top - W + 1, 0)
+        j_hi = min(j_top, T - 1)
+        if j_hi >= j_lo:
+            seg = t[:, j_lo : j_hi + 1][:, ::-1]  # lane d ~ j_top-d
+            d0 = j_top - j_hi
+            td[s, :, d0 : d0 + seg.shape[1]] = seg
+    return qd, td
+
+
+def _make_kernel(J: int, W: int, S: int, p: ExtendParams):
+    def gap(l):
+        return jnp.minimum(p.q + l * p.e, p.q2 + l * p.e2)
+
+    def shift_back(x, lane):  # out[d] = x[d-1]
+        return jnp.where(lane == 0, NEG, pltpu.roll(x, shift=1, axis=1))
+
+    def shift_fwd(x, lane):  # out[d] = x[d+1]
+        return jnp.where(lane == W - 1, NEG, pltpu.roll(x, shift=W - 1, axis=1))
+
+    def kernel(qd_ref, td_ref, qlen_ref, tlen_ref, dirs_ref, best_ref,
+               H1, E1, E2, F1, F2, H2, BST):
+        s = pl.program_id(0)
+        lane = jax.lax.broadcasted_iota(_I32, (J, W), 1)
+
+        @pl.when(s == 0)
+        def _():
+            for ref in (H1, E1, E2, F1, F2, H2):
+                ref[:, :] = jnp.full((J, W), NEG, _I32)
+            BST[:, :] = jnp.full((J, 128), NEG, _I32)
+
+        lo = jnp.maximum(s // 2 - W // 2 + 1, 0)
+        lo1 = jnp.maximum((s - 1) // 2 - W // 2 + 1, 0)
+        lo2 = jnp.maximum((s - 2) // 2 - W // 2 + 1, 0)
+        d1 = lo - lo1  # 0/1
+        d2 = lo - lo2  # 0/1/2
+
+        qlen = qlen_ref[:, :]  # [J, W] (host-broadcast, avoids i1 relayout)
+        tlen = tlen_ref[:, :]
+        i = lo + lane
+        j = s - i
+        cell_ok = (i <= jnp.minimum(s, qlen - 1)) & (j >= 0) & (j <= tlen - 1)
+
+        qb = qd_ref[0]
+        tb = td_ref[0]
+        ambi = (qb == 4) | (tb == 4)
+        pair = jnp.where(ambi, -p.sc_ambi, jnp.where(qb == tb, p.a, -p.b))
+
+        H1v, E1v, E2v = H1[:, :], E1[:, :], E2[:, :]
+        F1v, F2v, H2v = F1[:, :], F2[:, :], H2[:, :]
+
+        # up (i-1, j): d_up = d + d1 - 1
+        H_up = jnp.where(d1 == 1, H1v, shift_back(H1v, lane))
+        F1_up = jnp.where(d1 == 1, F1v, shift_back(F1v, lane))
+        F2_up = jnp.where(d1 == 1, F2v, shift_back(F2v, lane))
+        # left (i, j-1): d_left = d + d1
+        H_left = jnp.where(d1 == 1, shift_fwd(H1v, lane), H1v)
+        E1_left = jnp.where(d1 == 1, shift_fwd(E1v, lane), E1v)
+        E2_left = jnp.where(d1 == 1, shift_fwd(E2v, lane), E2v)
+        # diag (i-1, j-1): d_diag = d + d2 - 1
+        H_diag = jnp.where(
+            d2 == 2,
+            shift_fwd(H2v, lane),
+            jnp.where(d2 == 1, H2v, shift_back(H2v, lane)),
+        )
+
+        at_i0 = i == 0
+        at_j0 = j == 0
+        H_diag = jnp.where(
+            at_i0 & at_j0,
+            0,
+            jnp.where(
+                at_i0,
+                -gap(j),
+                jnp.where(at_j0, -gap(i), H_diag),
+            ),
+        )
+        H_left_b = jnp.where(at_j0, -gap(i + 1), H_left)
+        E1_left = jnp.where(at_j0, NEG, E1_left)
+        E2_left = jnp.where(at_j0, NEG, E2_left)
+        H_up_b = jnp.where(at_i0, -gap(j + 1), H_up)
+        F1_up = jnp.where(at_i0, NEG, F1_up)
+        F2_up = jnp.where(at_i0, NEG, F2_up)
+
+        e1_open = H_left_b - p.q
+        E1n = jnp.maximum(E1_left, e1_open) - p.e
+        e1c = jnp.where(E1_left > e1_open, 0x08, 0).astype(jnp.int32)
+        e2_open = H_left_b - p.q2
+        E2n = jnp.maximum(E2_left, e2_open) - p.e2
+        e2c = jnp.where(E2_left > e2_open, 0x10, 0)
+        f1_open = H_up_b - p.q
+        F1n = jnp.maximum(F1_up, f1_open) - p.e
+        f1c = jnp.where(F1_up > f1_open, 0x20, 0)
+        f2_open = H_up_b - p.q2
+        F2n = jnp.maximum(F2_up, f2_open) - p.e2
+        f2c = jnp.where(F2_up > f2_open, 0x40, 0)
+
+        M = H_diag + pair
+        H = M
+        src = jnp.zeros((J, W), jnp.int32)
+        for val, code in ((E1n, 1), (E2n, 2), (F1n, 3), (F2n, 4)):
+            better = val > H
+            H = jnp.where(better, val, H)
+            src = jnp.where(better, code, src)
+        H = jnp.where(cell_ok, H, NEG)
+        E1w = jnp.where(cell_ok, E1n, NEG)
+        E2w = jnp.where(cell_ok, E2n, NEG)
+        F1w = jnp.where(cell_ok, F1n, NEG)
+        F2w = jnp.where(cell_ok, F2n, NEG)
+        dirs_ref[0] = jnp.where(
+            cell_ok, src | e1c | e2c | f1c | f2c, 0
+        ).astype(jnp.uint8)
+
+        H2[:, :] = H1v
+        H1[:, :] = H
+        E1[:, :] = E1w
+        E2[:, :] = E2w
+        F1[:, :] = F1w
+        F2[:, :] = F2w
+
+        # ---- best trackers (BST cols: 0 best_sc,1 best_i,2 best_j,
+        #                                3 g_sc,4 g_j,5 end_sc) -------
+        bst = BST[:, :]
+        row_best = jnp.max(H, axis=1, keepdims=True)  # [J,1]
+        row_arg = jnp.max(
+            jnp.where(H == row_best, lane, -1), axis=1, keepdims=True
+        )
+        # XLA version uses argmax (first/lowest lane); match it:
+        row_arg_first = jnp.min(
+            jnp.where(H == row_best, lane, W), axis=1, keepdims=True
+        )
+        upd = row_best > bst[:, :1]
+        best_i = lo + row_arg_first
+        col = jax.lax.broadcasted_iota(_I32, (J, 128), 1)
+        new0 = jnp.where(upd, row_best, bst[:, :1])
+        new1 = jnp.where(upd, best_i, bst[:, 1:2])
+        new2 = jnp.where(upd, s - best_i, bst[:, 2:3])
+        lastrow = jnp.where((i == qlen - 1) & cell_ok, H, NEG)
+        lr_best = jnp.max(lastrow, axis=1, keepdims=True)
+        lr_arg = jnp.min(
+            jnp.where(lastrow == lr_best, lane, W), axis=1, keepdims=True
+        )
+        updg = lr_best > bst[:, 3:4]
+        new3 = jnp.where(updg, lr_best, bst[:, 3:4])
+        new4 = jnp.where(updg, s - (lo + lr_arg), bst[:, 4:5])
+        endmask = jnp.where((i == qlen - 1) & (j == tlen - 1), H, NEG)
+        end_here = jnp.max(endmask, axis=1, keepdims=True)
+        at_end = s == (qlen[:, :1] + tlen[:, :1] - 2)
+        new5 = jnp.where(at_end, jnp.maximum(bst[:, 5:6], end_here), bst[:, 5:6])
+        BST[:, :] = jnp.where(
+            col == 0, new0,
+            jnp.where(col == 1, new1,
+            jnp.where(col == 2, new2,
+            jnp.where(col == 3, new3,
+            jnp.where(col == 4, new4,
+            jnp.where(col == 5, new5, bst))))))
+
+        @pl.when(s == S - 1)
+        def _():
+            best_ref[:, :] = BST[:, :]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("W", "params"))
+def _extend_pallas_device(qd, td, qlen, tlen, W: int, params: ExtendParams):
+    S, J, _ = qd.shape
+    kernel = _make_kernel(J, W, S, params)
+    dirs, best = pl.pallas_call(
+        kernel,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((1, J, W), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, J, W), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, J, W), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((S, J, W), jnp.uint8),
+            jax.ShapeDtypeStruct((J, 128), _I32),
+        ),
+        scratch_shapes=[pltpu.VMEM((J, W), _I32) for _ in range(6)]
+        + [pltpu.VMEM((J, 128), _I32)],
+        interpret=jax.default_backend() != "tpu",
+    )(qd, td, qlen, tlen)
+    return dirs, best
+
+
+def extend_dp_pallas(
+    q: np.ndarray,  # [J, QMAX] uint8 (host)
+    t: np.ndarray,  # [J, TMAX] uint8 (host)
+    qlen: np.ndarray,
+    tlen: np.ndarray,
+    W: int,
+    params: ExtendParams,
+) -> Dict[str, np.ndarray]:
+    """Host wrapper: diagonal staging + kernel; same outputs as
+    ops/extend.py:extend_dp (dirs/best_sc/best_i/best_j/g_sc/g_j/end_sc)."""
+    qd, td = stage_diagonals(q, t, W)
+    ql2 = np.broadcast_to(
+        qlen.astype(np.int32)[:, None], (len(qlen), W)
+    ).copy()
+    tl2 = np.broadcast_to(
+        tlen.astype(np.int32)[:, None], (len(tlen), W)
+    ).copy()
+    dirs, best = _extend_pallas_device(
+        jnp.asarray(qd), jnp.asarray(td), jnp.asarray(ql2), jnp.asarray(tl2),
+        W, params,
+    )
+    best = np.asarray(best)
+    return {
+        "dirs": dirs,  # device array [S, J, W]
+        "best_sc": best[:, 0],
+        "best_i": best[:, 1],
+        "best_j": best[:, 2],
+        "g_sc": best[:, 3],
+        "g_j": best[:, 4],
+        "end_sc": best[:, 5],
+    }
