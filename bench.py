@@ -58,7 +58,7 @@ def simulate(rng, genome: str, n: int, length: int, err: float):
             else:
                 out.append(s[i])
                 i += 1
-        read = "".join(out)
+        read = "".join(out)[: length + 24]  # keep every read in one bucket
         if rng.random() < 0.5:
             read = "".join(comp[c] for c in reversed(read))
         reads.append(read)
@@ -89,9 +89,10 @@ def main() -> None:
     reads = simulate(rng, genome, N_READS, READ_LEN, ERROR_RATE)
     payload = [{"i": i, "seq": r} for i, r in enumerate(reads)]
 
-    # warm-up: compile all bucket shapes on a small slice
+    # warm-up: compile all shapes (same device batch size as the run;
+    # the backend's first compile per process is slow — pay it here)
     n_hit = 0
-    for _ in al.map_batch(payload[:32]):
+    for _ in al.map_batch(payload[:256]):
         pass
 
     t0 = time.time()
@@ -110,9 +111,13 @@ def main() -> None:
             }
         )
     )
+    m = al.metrics
     print(
         f"# mapped {n_hit}/{N_READS} reads in {dt:.2f}s "
-        f"({READ_LEN}bp, {ERROR_RATE:.0%} err, {GENOME_LEN/1e6:.0f}Mbp ref)",
+        f"({READ_LEN}bp, {ERROR_RATE:.0%} err, {GENOME_LEN/1e6:.0f}Mbp ref); "
+        f"dp_cells/s={m.get('dp_cells_per_sec', 0):.3e} "
+        f"stage_times: sketch={m.get('time_sketch_s', 0)}s "
+        f"chain={m.get('time_chain_s', 0)}s extend={m.get('time_extend_s', 0)}s",
         file=sys.stderr,
     )
 

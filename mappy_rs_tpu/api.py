@@ -252,6 +252,14 @@ class Aligner:
         self._pool: Optional[WorkerPool] = None
         self.n_threads = 0
 
+    @property
+    def metrics(self) -> Dict[str, float]:
+        """Engine observability counters (reads/sec, DP cell-updates/sec,
+        per-stage wall times).  No reference analogue — SURVEY.md §5
+        lists first-class profiling as a required replacement for the
+        reference's eprintln-only story."""
+        return self._engine.metrics.snapshot()
+
     # --- introspection (lib.rs:438-459, 650-670) -----------------------
     def __bool__(self) -> bool:
         return self._index is not None

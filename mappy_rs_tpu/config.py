@@ -239,7 +239,7 @@ class AlignerConfig:
     # max reads per device batch in the streaming map_batch pipeline
     device_batch_size: int = 256
     # length buckets for padding variable-length reads (powers-of-two-ish)
-    length_buckets: tuple[int, ...] = (512, 2048, 8192, 32768, 131072)
+    length_buckets: tuple[int, ...] = (512, 1024, 2048, 8192, 32768, 131072)
     # per-read anchor capacity per bucket (scaled with length)
     anchors_per_base: float = 0.25
     # chaining block size C (mm's max_chain_iter analogue; predecessor

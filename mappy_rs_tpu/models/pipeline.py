@@ -34,6 +34,7 @@ from ..ops.regions import (
     set_parent,
 )
 from ..ops.sketch import sketch_compact
+from ..utils.metrics import EngineMetrics
 from ..utils.seqcodes import encode
 
 
@@ -72,6 +73,7 @@ class AlignmentEngine:
         # band width class for flank extensions; same class as most mid
         # jobs so extension job groups share compiled kernels
         self.flank_band = 128
+        self.metrics = EngineMetrics()
         max_gap_ref = opt.max_gap_ref if opt.max_gap_ref >= 0 else opt.max_gap
         self._chain_params = ChainParams(
             max_dist_x=max_gap_ref,
@@ -89,14 +91,16 @@ class AlignmentEngine:
         """Map a batch of reads; returns per-read region lists (aligned,
         mapq'd, primary-marked), best first."""
         out: List[List[Region]] = [[] for _ in seqs]
-        codes = [encode(s) for s in seqs]
-        # ---- length bucketing ----
-        buckets: Dict[int, List[int]] = {}
-        for i, c in enumerate(codes):
-            L = self._bucket_len(len(c))
-            buckets.setdefault(L, []).append(i)
-        for L, idxs in buckets.items():
-            self._map_bucket(L, idxs, codes, out, cs, md)
+        with self.metrics.timer("map_batch"):
+            self.metrics.add("reads", len(seqs))
+            codes = [encode(s) for s in seqs]
+            # ---- length bucketing ----
+            buckets: Dict[int, List[int]] = {}
+            for i, c in enumerate(codes):
+                L = self._bucket_len(len(c))
+                buckets.setdefault(L, []).append(i)
+            for L, idxs in buckets.items():
+                self._map_bucket(L, idxs, codes, out, cs, md)
         return out
 
     def _bucket_len(self, n: int) -> int:
@@ -131,7 +135,10 @@ class AlignmentEngine:
                 c = codes[ri]
                 batch[bi, : len(c)] = c
                 lens[bi] = len(c)
-            mins = sketch_compact(jnp.asarray(batch), jnp.asarray(lens), k, w, M)
+            with self.metrics.timer("sketch"):
+                mins = sketch_compact(
+                    jnp.asarray(batch), jnp.asarray(lens), k, w, M
+                )
             anchors = collect_anchors(
                 mins,
                 jnp.asarray(lens),
@@ -150,12 +157,13 @@ class AlignmentEngine:
             # H=128 window); elsewhere: the XLA block formulation
             import jax
 
-            if jax.default_backend() == "tpu":
-                f, p = chain_scores_pallas(anchors, self._chain_params)
-            else:
-                f, p = chain_scores_block(
-                    anchors, self._chain_params, self.cfg.chain_window
-                )
+            with self.metrics.timer("chain"):
+                if jax.default_backend() == "tpu":
+                    f, p = chain_scores_pallas(anchors, self._chain_params)
+                else:
+                    f, p = chain_scores_block(
+                        anchors, self._chain_params, self.cfg.chain_window
+                    )
             f = np.asarray(f)
             p = np.asarray(p)
             anchors_np = {k2: np.asarray(v) for k2, v in anchors.items()}
@@ -277,14 +285,21 @@ class AlignmentEngine:
                     tl[ji] = len(job.t)
                 import jax
 
-                if jax.default_backend() == "tpu":
-                    from ..ops.extend_pallas import extend_dp_pallas
+                with self.metrics.timer("extend"):
+                    if jax.default_backend() == "tpu":
+                        from ..ops.extend_pallas import extend_dp_pallas
 
-                    res = extend_dp_pallas(q, t, ql, tl, W, self._ext_params)
-                else:
-                    res = extend_dp(
-                        jnp.asarray(q), jnp.asarray(t), jnp.asarray(ql),
-                        jnp.asarray(tl), QMAX, TMAX, W, self._ext_params,
+                        res = extend_dp_pallas(
+                            q, t, ql, tl, W, self._ext_params
+                        )
+                    else:
+                        res = extend_dp(
+                            jnp.asarray(q), jnp.asarray(t), jnp.asarray(ql),
+                            jnp.asarray(tl), QMAX, TMAX, W, self._ext_params,
+                        )
+                    # banded DP cell updates actually computed
+                    self.metrics.add(
+                        "dp_cells", float(len(sub)) * (QMAX + TMAX - 1) * W
                     )
                 dirs = np.asarray(res["dirs"])
                 best_sc = np.asarray(res["best_sc"])

@@ -263,3 +263,11 @@ def test_mapping_str_paf_format(al):
     assert fields[3] == "Bacillus_subtilis"
     assert fields[10] == "tp:A:P"
     assert fields[11] == "cg:Z:400M"
+
+
+def test_metrics_counters(al):
+    al.map("ACGT" * 100)
+    m = al.metrics
+    assert m["reads"] >= 1
+    assert "time_map_batch_s" in m
+    assert m.get("dp_cells", 0) >= 0
