@@ -152,8 +152,8 @@ def set_parent(
         assigned = False
         for j in primaries:
             pr = regions[j]
-            if pr.rev == r.rev and pr.rid == r.rid:
-                pass  # overlap rule is on the query interval only
+            # NB: the overlap rule is on the QUERY interval only — two
+            # chains to different contigs still shadow each other
             s = max(r.qs, pr.qs)
             e = min(r.qe, pr.qe)
             ol = max(0, e - s)
