@@ -131,3 +131,22 @@ def test_batch_matches_single(al, seqs):
             )
             assert g.cigar == e.cigar
             assert g.strand == e.strand
+
+
+def test_duplicate_contig_secondary_and_mapq(tmp_path):
+    """Ambiguous placements must yield a secondary hit and collapse the
+    primary's mapq (minimap2 semantics)."""
+    rng = np.random.default_rng(2)
+    core = "".join(rng.choice(list("ACGT"), size=600))
+    other = "".join(rng.choice(list("ACGT"), size=600))
+    fa = tmp_path / "r.fa"
+    fa.write_text(f">copyA\n{core}\n>copyB\n{core}\n>uniq\n{other}\n")
+    al = mappy_rs_tpu.Aligner(str(fa))
+    hits = al.map(core[50:550])
+    assert len(hits) == 2
+    assert hits[0].is_primary and not hits[1].is_primary
+    assert hits[0].mapq <= 3  # ambiguous
+    assert {h.target_name for h in hits} == {"copyA", "copyB"}
+    uniq_hits = al.map(other[50:550])
+    assert len(uniq_hits) == 1
+    assert uniq_hits[0].mapq >= 40
