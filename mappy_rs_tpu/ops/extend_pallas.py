@@ -36,29 +36,44 @@ _I32 = jnp.int32
 NEG = -(1 << 28)
 
 
-def stage_diagonals(q: np.ndarray, t: np.ndarray, W: int):
-    """Host prep: [J,Q],[J,T] codes -> diagonal-major int32 [S,J,W] pair
-    (int32 staging: Mosaic's sub-word relayout path is buggy on this
-    backend; 4x HBM for the staging buffers is cheap)."""
+def stage_diagonals(q: np.ndarray, t: np.ndarray, W: int, S_pad: int = 0):
+    """Host prep: [J,Q],[J,T] codes -> diagonal-major int32 [S,J,W] pair.
+
+    Fully vectorized (two sliding-window gathers, C-speed): for each
+    anti-diagonal s, lane d holds q[lo(s)+d] and t[s-lo(s)-d], with 4
+    (ambiguous) padding outside either sequence.  int32 staging: the
+    backend's Mosaic sub-word relayout path is buggy; 4x HBM on the
+    staging buffers is cheap."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
     J, Q = q.shape
     T = t.shape[1]
     S = Q + T - 1
-    qd = np.full((S, J, W), 4, np.int32)
-    td = np.full((S, J, W), 4, np.int32)
-    for s in range(S):
-        lo = band_lo_host(s, Q, T, W)
-        i_hi = min(lo + W, Q)
-        if i_hi > lo:
-            qd[s, :, : i_hi - lo] = q[:, lo:i_hi]
-        # j = s - i for i in [lo, lo+W): a reversed slice of t
-        j_top = s - lo  # j at lane 0
-        j_lo = max(j_top - W + 1, 0)
-        j_hi = min(j_top, T - 1)
-        if j_hi >= j_lo:
-            seg = t[:, j_lo : j_hi + 1][:, ::-1]  # lane d ~ j_top-d
-            d0 = j_top - j_hi
-            td[s, :, d0 : d0 + seg.shape[1]] = seg
-    return qd, td
+    S_out = max(S, S_pad)
+    s_arr = np.arange(S, dtype=np.int64)
+    lo_arr = np.maximum(s_arr // 2 - W // 2 + 1, 0)
+
+    q_pad = np.full((J, Q + W), 4, np.uint8)
+    q_pad[:, :Q] = q
+    swv_q = sliding_window_view(q_pad, W, axis=1)  # [J, Q+1, W]
+    qd = swv_q[:, np.minimum(lo_arr, Q), :]  # [J, S, W]
+
+    t_pad = np.full((J, T + 2 * W), 4, np.uint8)
+    t_pad[:, W : W + T] = t
+    rv = t_pad[:, ::-1]
+    swv_rv = sliding_window_view(rv, W, axis=1)  # [J, T+W+1, W]
+    y0 = np.clip(T + W - 1 - (s_arr - lo_arr), 0, T + W)
+    td = swv_rv[:, y0, :]
+
+    qd_out = np.full((S_out, J, W), 4, np.int32)
+    td_out = np.full((S_out, J, W), 4, np.int32)
+    qd_out[:S] = np.moveaxis(qd, 1, 0)
+    td_out[:S] = np.moveaxis(td, 1, 0)
+    return qd_out, td_out
+
+
+DIAG_BLOCK = 8  # anti-diagonals per grid step (amortizes step overhead;
+# carries stay in registers across the in-step sub-diagonals)
 
 
 def _make_kernel(J: int, W: int, S: int, p: ExtendParams):
@@ -73,34 +88,57 @@ def _make_kernel(J: int, W: int, S: int, p: ExtendParams):
 
     def kernel(qd_ref, td_ref, qlen_ref, tlen_ref, dirs_ref, best_ref,
                H1, E1, E2, F1, F2, H2, BST):
-        s = pl.program_id(0)
+        blk = pl.program_id(0)
         lane = jax.lax.broadcasted_iota(_I32, (J, W), 1)
 
-        @pl.when(s == 0)
+        @pl.when(blk == 0)
         def _():
             for ref in (H1, E1, E2, F1, F2, H2):
                 ref[:, :] = jnp.full((J, W), NEG, _I32)
             BST[:, :] = jnp.full((J, 128), NEG, _I32)
 
+        qlen = qlen_ref[:, :]  # [J, W] (host-broadcast, avoids i1 relayout)
+        tlen = tlen_ref[:, :]
+        H1v, E1v, E2v = H1[:, :], E1[:, :], E2[:, :]
+        F1v, F2v, H2v = F1[:, :], F2[:, :], H2[:, :]
+        bst = BST[:, :]
+        col = jax.lax.broadcasted_iota(_I32, (J, 128), 1)
+
+        for k in range(DIAG_BLOCK):
+            s = blk * DIAG_BLOCK + k
+            (H1v, E1v, E2v, F1v, F2v, H2v, bst) = _substep(
+                k, s, qd_ref, td_ref, dirs_ref, qlen, tlen, lane, col,
+                H1v, E1v, E2v, F1v, F2v, H2v, bst,
+            )
+
+        H1[:, :] = H1v
+        E1[:, :] = E1v
+        E2[:, :] = E2v
+        F1[:, :] = F1v
+        F2[:, :] = F2v
+        H2[:, :] = H2v
+        BST[:, :] = bst
+
+        @pl.when(blk == pl.num_programs(0) - 1)
+        def _():
+            best_ref[:, :] = bst
+
+    def _substep(k, s, qd_ref, td_ref, dirs_ref, qlen, tlen, lane, col,
+                 H1v, E1v, E2v, F1v, F2v, H2v, bst):
         lo = jnp.maximum(s // 2 - W // 2 + 1, 0)
         lo1 = jnp.maximum((s - 1) // 2 - W // 2 + 1, 0)
         lo2 = jnp.maximum((s - 2) // 2 - W // 2 + 1, 0)
         d1 = lo - lo1  # 0/1
         d2 = lo - lo2  # 0/1/2
 
-        qlen = qlen_ref[:, :]  # [J, W] (host-broadcast, avoids i1 relayout)
-        tlen = tlen_ref[:, :]
         i = lo + lane
         j = s - i
         cell_ok = (i <= jnp.minimum(s, qlen - 1)) & (j >= 0) & (j <= tlen - 1)
 
-        qb = qd_ref[0]
-        tb = td_ref[0]
+        qb = qd_ref[k]
+        tb = td_ref[k]
         ambi = (qb == 4) | (tb == 4)
         pair = jnp.where(ambi, -p.sc_ambi, jnp.where(qb == tb, p.a, -p.b))
-
-        H1v, E1v, E2v = H1[:, :], E1[:, :], E2[:, :]
-        F1v, F2v, H2v = F1[:, :], F2[:, :], H2[:, :]
 
         # up (i-1, j): d_up = d + d1 - 1
         H_up = jnp.where(d1 == 1, H1v, shift_back(H1v, lane))
@@ -160,31 +198,19 @@ def _make_kernel(J: int, W: int, S: int, p: ExtendParams):
         E2w = jnp.where(cell_ok, E2n, NEG)
         F1w = jnp.where(cell_ok, F1n, NEG)
         F2w = jnp.where(cell_ok, F2n, NEG)
-        dirs_ref[0] = jnp.where(
+        dirs_ref[k] = jnp.where(
             cell_ok, src | e1c | e2c | f1c | f2c, 0
         ).astype(jnp.uint8)
 
-        H2[:, :] = H1v
-        H1[:, :] = H
-        E1[:, :] = E1w
-        E2[:, :] = E2w
-        F1[:, :] = F1w
-        F2[:, :] = F2w
-
         # ---- best trackers (BST cols: 0 best_sc,1 best_i,2 best_j,
         #                                3 g_sc,4 g_j,5 end_sc) -------
-        bst = BST[:, :]
         row_best = jnp.max(H, axis=1, keepdims=True)  # [J,1]
-        row_arg = jnp.max(
-            jnp.where(H == row_best, lane, -1), axis=1, keepdims=True
-        )
         # XLA version uses argmax (first/lowest lane); match it:
         row_arg_first = jnp.min(
             jnp.where(H == row_best, lane, W), axis=1, keepdims=True
         )
         upd = row_best > bst[:, :1]
         best_i = lo + row_arg_first
-        col = jax.lax.broadcasted_iota(_I32, (J, 128), 1)
         new0 = jnp.where(upd, row_best, bst[:, :1])
         new1 = jnp.where(upd, best_i, bst[:, 1:2])
         new2 = jnp.where(upd, s - best_i, bst[:, 2:3])
@@ -200,40 +226,39 @@ def _make_kernel(J: int, W: int, S: int, p: ExtendParams):
         end_here = jnp.max(endmask, axis=1, keepdims=True)
         at_end = s == (qlen[:, :1] + tlen[:, :1] - 2)
         new5 = jnp.where(at_end, jnp.maximum(bst[:, 5:6], end_here), bst[:, 5:6])
-        BST[:, :] = jnp.where(
+        bst = jnp.where(
             col == 0, new0,
             jnp.where(col == 1, new1,
             jnp.where(col == 2, new2,
             jnp.where(col == 3, new3,
             jnp.where(col == 4, new4,
             jnp.where(col == 5, new5, bst))))))
-
-        @pl.when(s == S - 1)
-        def _():
-            best_ref[:, :] = BST[:, :]
+        return (H, E1w, E2w, F1w, F2w, H1v, bst)
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("W", "params"))
 def _extend_pallas_device(qd, td, qlen, tlen, W: int, params: ExtendParams):
-    S, J, _ = qd.shape
-    kernel = _make_kernel(J, W, S, params)
+    S_pad, J, _ = qd.shape
+    assert S_pad % DIAG_BLOCK == 0
+    kernel = _make_kernel(J, W, S_pad, params)
+    DB = DIAG_BLOCK
     dirs, best = pl.pallas_call(
         kernel,
-        grid=(S,),
+        grid=(S_pad // DB,),
         in_specs=[
-            pl.BlockSpec((1, J, W), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, J, W), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((DB, J, W), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((DB, J, W), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, J, W), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((DB, J, W), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((S, J, W), jnp.uint8),
+            jax.ShapeDtypeStruct((S_pad, J, W), jnp.uint8),
             jax.ShapeDtypeStruct((J, 128), _I32),
         ),
         scratch_shapes=[pltpu.VMEM((J, W), _I32) for _ in range(6)]
@@ -253,7 +278,9 @@ def extend_dp_pallas(
 ) -> Dict[str, np.ndarray]:
     """Host wrapper: diagonal staging + kernel; same outputs as
     ops/extend.py:extend_dp (dirs/best_sc/best_i/best_j/g_sc/g_j/end_sc)."""
-    qd, td = stage_diagonals(q, t, W)
+    S = q.shape[1] + t.shape[1] - 1
+    S_pad = ((S + DIAG_BLOCK - 1) // DIAG_BLOCK) * DIAG_BLOCK
+    qd, td = stage_diagonals(q, t, W, S_pad)
     ql2 = np.broadcast_to(
         qlen.astype(np.int32)[:, None], (len(qlen), W)
     ).copy()
