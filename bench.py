@@ -116,8 +116,8 @@ def main() -> None:
         f"# mapped {n_hit}/{N_READS} reads in {dt:.2f}s "
         f"({READ_LEN}bp, {ERROR_RATE:.0%} err, {GENOME_LEN/1e6:.0f}Mbp ref); "
         f"dp_cells/s={m.get('dp_cells_per_sec', 0):.3e} "
-        f"stage_times: sketch={m.get('time_sketch_s', 0)}s "
-        f"chain={m.get('time_chain_s', 0)}s extend={m.get('time_extend_s', 0)}s",
+        f"stage_times: front_end={m.get('time_front_end_s', 0)}s "
+        f"extend={m.get('time_extend_s', 0)}s",
         file=sys.stderr,
     )
 

@@ -45,6 +45,34 @@ def _pow2_at_least(n: int, lo: int = 1) -> int:
     return p
 
 
+from functools import partial  # noqa: E402
+
+import jax  # noqa: E402
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "w", "M", "A", "chain_params", "chain_window", "use_pallas"),
+)
+def _front_end(
+    codes, lens, key_hi, key_lo, offsets, counts, pos_rid, pos_ps,
+    n_keys, mid_occ, k, w, M, A, chain_params, chain_window, use_pallas,
+):
+    """Fused sketch -> seed lookup -> chain: ONE device dispatch per
+    batch (the per-call tunnel latency on the dev setup is ~50-100ms,
+    so call count matters as much as FLOPs)."""
+    mins = sketch_compact(codes, lens, k, w, M)
+    anchors = collect_anchors(
+        mins, lens, key_hi, key_lo, offsets, counts, pos_rid, pos_ps,
+        n_keys, mid_occ, A, k,
+    )
+    if use_pallas:
+        f, p = chain_scores_pallas(anchors, chain_params)
+    else:
+        f, p = chain_scores_block(anchors, chain_params, chain_window)
+    return anchors, f, p
+
+
 @dataclass
 class _ExtJob:
     region: Region
@@ -135,38 +163,33 @@ class AlignmentEngine:
                 c = codes[ri]
                 batch[bi, : len(c)] = c
                 lens[bi] = len(c)
-            with self.metrics.timer("sketch"):
-                mins = sketch_compact(
-                    jnp.asarray(batch), jnp.asarray(lens), k, w, M
-                )
-            anchors = collect_anchors(
-                mins,
-                jnp.asarray(lens),
-                self.dev.key_hi,
-                self.dev.key_lo,
-                self.dev.offsets,
-                self.dev.counts,
-                self.dev.pos_rid,
-                self.dev.pos_ps,
-                jnp.int32(self.dev.n_keys),
-                jnp.int32(self.opt.mid_occ),
-                A,
-                k,
-            )
-            # TPU: hand-written Mosaic kernel (predictable compiles,
-            # H=128 window); elsewhere: the XLA block formulation
+            # TPU: hand-written Mosaic chain kernel (predictable
+            # compiles, H=128 window); elsewhere: XLA block formulation
             import jax
 
-            with self.metrics.timer("chain"):
-                if jax.default_backend() == "tpu":
-                    f, p = chain_scores_pallas(anchors, self._chain_params)
-                else:
-                    f, p = chain_scores_block(
-                        anchors, self._chain_params, self.cfg.chain_window
-                    )
-            f = np.asarray(f)
-            p = np.asarray(p)
-            anchors_np = {k2: np.asarray(v) for k2, v in anchors.items()}
+            with self.metrics.timer("front_end"):
+                anchors, f, p = _front_end(
+                    jnp.asarray(batch),
+                    jnp.asarray(lens),
+                    self.dev.key_hi,
+                    self.dev.key_lo,
+                    self.dev.offsets,
+                    self.dev.counts,
+                    self.dev.pos_rid,
+                    self.dev.pos_ps,
+                    jnp.int32(self.dev.n_keys),
+                    jnp.int32(self.opt.mid_occ),
+                    k,
+                    w,
+                    M,
+                    A,
+                    self._chain_params,
+                    self.cfg.chain_window,
+                    jax.default_backend() == "tpu",
+                )
+                f = np.asarray(f)
+                p = np.asarray(p)
+                anchors_np = {k2: np.asarray(v) for k2, v in anchors.items()}
 
             jobs: List[_ExtJob] = []
             read_regions: List[Tuple[int, List[Region]]] = []
