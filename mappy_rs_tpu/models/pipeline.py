@@ -294,7 +294,10 @@ class AlignmentEngine:
             W = min(W, _pow2_at_least(QMAX + TMAX, 128))
             groups.setdefault((QMAX, TMAX, W), []).append(j)
         for (QMAX, TMAX, W), grp in groups.items():
-            J = _pow2_at_least(len(grp), 8)
+            # J cap: the Mosaic kernel's VMEM footprint is ~(4*J*W*4B
+            # double-buffered blocks + 6 state vectors); 256x128 fits
+            # the 16MB scoped budget with headroom
+            J = min(_pow2_at_least(len(grp), 8), 256)
             for s in range(0, len(grp), J):
                 sub = grp[s : s + J]
                 q = np.full((J, QMAX), 4, np.uint8)
