@@ -273,6 +273,21 @@ class AlignmentEngine:
 
         if not jobs:
             return
+        # small jobs (most flanks): full DP on host in C++ — cheaper
+        # than a device dispatch and removes whole shape classes
+        small: List[_ExtJob] = []
+        rest: List[_ExtJob] = []
+        from .. import native
+
+        native_ok = native.available()
+        for j in jobs:
+            if native_ok and len(j.q) <= 64 and len(j.t) <= 160:
+                small.append(j)
+            else:
+                rest.append(j)
+        if small:
+            self._run_small_jobs(small)
+        jobs = rest
         # bucket by (QMAX, TMAX, W) size class
         groups: Dict[Tuple[int, int, int], List[_ExtJob]] = {}
         for j in jobs:
@@ -390,6 +405,40 @@ class AlignmentEngine:
                             job.region, f"_{job.kind}",
                             (c, sc, s_i + 1, s_j + 1),
                         )
+
+    def _run_small_jobs(self, jobs: List[_ExtJob]) -> None:
+        from .. import native
+
+        with self.metrics.timer("extend_small"):
+            for mode, kinds in ((0, ("mid",)), (1, ("left", "right"))):
+                sel = [j for j in jobs if j.kind in kinds]
+                if not sel:
+                    continue
+                QS = max(max(len(j.q) for j in sel), 1)
+                TS = max(max(len(j.t) for j in sel), 1)
+                q = np.full((len(sel), QS), 4, np.uint8)
+                t = np.full((len(sel), TS), 4, np.uint8)
+                ql = np.zeros(len(sel), np.int32)
+                tl = np.zeros(len(sel), np.int32)
+                for i, j in enumerate(sel):
+                    q[i, : len(j.q)] = j.q
+                    t[i, : len(j.t)] = j.t
+                    ql[i], tl[i] = len(j.q), len(j.t)
+                res = native.extend_small_batch(
+                    q, t, ql, tl, self._ext_params, self.opt.end_bonus, mode
+                )
+                self.metrics.add("dp_cells", float((ql * tl).sum()))
+                if res is None:  # native missing/overflow: device path
+                    for j in sel:
+                        self._store_empty(j)
+                    continue
+                for j, (ops, sc, qc, tc) in zip(sel, res):
+                    if mode == 0:
+                        j.region._mid = (ops, sc)  # type: ignore[attr-defined]
+                    elif ops or sc > 0:
+                        setattr(j.region, f"_{j.kind}", (ops, sc, qc, tc))
+                    else:
+                        self._store_empty(j)
 
     def _store_empty(self, job: _ExtJob) -> None:
         r = job.region

@@ -60,6 +60,17 @@ def _load() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         ctypes.c_int,
     ]
+    lib.extend_small_batch.argtypes = (
+        [np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")] * 2
+        + [np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")] * 2
+        + [ctypes.c_int] * 12
+        + [
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ]
+    )
     _lib = lib
     return _lib
 
@@ -109,4 +120,44 @@ def traceback_batch(
     for j in range(J):
         ops = out_ops[j, : out_n[j]]
         res.append([(int(v) >> 4, int(v) & 0xF) for v in ops])
+    return res
+
+
+def extend_small_batch(
+    q: np.ndarray,  # [J, QS] uint8, padded
+    t: np.ndarray,  # [J, TS] uint8, padded
+    qlen: np.ndarray,
+    tlen: np.ndarray,
+    params,  # ExtendParams
+    end_bonus: int,
+    mode: int,  # 0 global, 1 extension
+    max_ops: int = 512,
+):
+    """Full (unbanded) dual-affine DP for small jobs on the host.
+    Returns list of (ops, score, q_consumed, t_consumed) per job, or
+    None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    J, QS = q.shape
+    TS = t.shape[1]
+    out_ops = np.zeros((J, max_ops), np.int32)
+    out_n = np.zeros(J, np.int32)
+    out_info = np.zeros((J, 3), np.int32)
+    lib.extend_small_batch(
+        np.ascontiguousarray(q), np.ascontiguousarray(t),
+        np.ascontiguousarray(qlen, np.int32),
+        np.ascontiguousarray(tlen, np.int32),
+        J, QS, TS,
+        params.a, params.b, params.q, params.e, params.q2, params.e2,
+        params.sc_ambi, end_bonus, mode,
+        out_ops.reshape(-1), out_n, max_ops, out_info.reshape(-1),
+    )
+    res = []
+    for j in range(J):
+        n = int(out_n[j])
+        if n < 0:
+            return None  # overflow; caller falls back
+        ops = [(int(v) >> 4, int(v) & 0xF) for v in out_ops[j, :n]]
+        res.append((ops, int(out_info[j, 0]), int(out_info[j, 1]), int(out_info[j, 2])))
     return res

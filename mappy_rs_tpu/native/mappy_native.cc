@@ -11,6 +11,7 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <vector>
 
 namespace {
 
@@ -106,6 +107,142 @@ void traceback_batch(const uint8_t* dirs, int S, int J, int W,
     for (int a = 0, b = n_ops - 1; a < b; ++a, --b)
       std::swap(ops[a], ops[b]);
     out_n[job] = overflow ? -1 : n_ops;
+  }
+}
+
+// Small-job dual-affine DP, host-side (flank extensions are typically
+// a few dozen bases; a full O(Q*T) DP here beats a device dispatch).
+// Scoring/precedence/tie rules replicate ops/extend.py exactly:
+// H = max(M, E1, E2, F1, F2) with strictly-greater updates in that
+// order; gap-continue flags use strict '>'; extension trackers scan
+// anti-diagonals ascending with lowest-i tie break per diagonal and
+// strictly-greater across diagonals.
+//   mode 0 = global (traceback from (qlen-1, tlen-1))
+//   mode 1 = extension (end_bonus rule picks the cell)
+// out per job: n_ops ops packed len<<4|op (start order), then
+// [score, q_consumed, t_consumed] in out_info[3*job..].
+void extend_small_batch(const uint8_t* qs, const uint8_t* ts,
+                        const int32_t* qlen, const int32_t* tlen,
+                        int J, int QSTRIDE, int TSTRIDE,
+                        int a, int b, int gq, int ge, int gq2, int ge2,
+                        int sc_ambi, int end_bonus, int mode,
+                        int32_t* out_ops, int32_t* out_n, int max_ops,
+                        int32_t* out_info) {
+  const int NEGI = -(1 << 28);
+  for (int job = 0; job < J; ++job) {
+    int Q = qlen[job], T = tlen[job];
+    const uint8_t* q = qs + (int64_t)job * QSTRIDE;
+    const uint8_t* t = ts + (int64_t)job * TSTRIDE;
+    int32_t* ops = out_ops + (int64_t)job * max_ops;
+    int32_t* info = out_info + (int64_t)job * 3;
+    out_n[job] = 0;
+    info[0] = info[1] = info[2] = 0;
+    if (Q <= 0 || T <= 0) continue;
+    // dense DP with direction bytes
+    std::vector<int32_t> H((Q + 1) * (T + 1), NEGI), E1v = H, E2v = H,
+        F1v = H, F2v = H;
+    std::vector<uint8_t> dir((int64_t)Q * T, 0);
+    auto gap = [&](long l) {
+      long g1 = gq + l * ge, g2 = gq2 + l * ge2;
+      return (int32_t)(g1 < g2 ? g1 : g2);
+    };
+    auto at = [&](std::vector<int32_t>& m, int i, int j) -> int32_t& {
+      return m[(int64_t)i * (T + 1) + j];
+    };
+    H[0] = 0;
+    for (int j = 1; j <= T; ++j) at(H, 0, j) = -gap(j);
+    for (int i = 1; i <= Q; ++i) at(H, i, 0) = -gap(i);
+    for (int i = 1; i <= Q; ++i) {
+      for (int j = 1; j <= T; ++j) {
+        int32_t e1o = at(H, i, j - 1) - gq;
+        int32_t e1p = at(E1v, i, j - 1);
+        int32_t e1 = (e1p > e1o ? e1p : e1o) - ge;
+        uint8_t e1c = e1p > e1o ? E1_CONT : 0;
+        int32_t e2o = at(H, i, j - 1) - gq2;
+        int32_t e2p = at(E2v, i, j - 1);
+        int32_t e2 = (e2p > e2o ? e2p : e2o) - ge2;
+        uint8_t e2c = e2p > e2o ? E2_CONT : 0;
+        int32_t f1o = at(H, i - 1, j) - gq;
+        int32_t f1p = at(F1v, i - 1, j);
+        int32_t f1 = (f1p > f1o ? f1p : f1o) - ge;
+        uint8_t f1c = f1p > f1o ? F1_CONT : 0;
+        int32_t f2o = at(H, i - 1, j) - gq2;
+        int32_t f2p = at(F2v, i - 1, j);
+        int32_t f2 = (f2p > f2o ? f2p : f2o) - ge2;
+        uint8_t f2c = f2p > f2o ? F2_CONT : 0;
+        int qc = q[i - 1], tc = t[j - 1];
+        int32_t pair = (qc == 4 || tc == 4) ? -sc_ambi : (qc == tc ? a : -b);
+        int32_t h = at(H, i - 1, j - 1) + pair;
+        uint8_t src = 0;
+        if (e1 > h) { h = e1; src = 1; }
+        if (e2 > h) { h = e2; src = 2; }
+        if (f1 > h) { h = f1; src = 3; }
+        if (f2 > h) { h = f2; src = 4; }
+        at(H, i, j) = h;
+        at(E1v, i, j) = e1;
+        at(E2v, i, j) = e2;
+        at(F1v, i, j) = f1;
+        at(F2v, i, j) = f2;
+        dir[(int64_t)(i - 1) * T + (j - 1)] = src | e1c | e2c | f1c | f2c;
+      }
+    }
+    // trackers in (diagonal asc, i asc) order to match the device tie rules
+    int32_t best_sc = NEGI, best_i = 0, best_j = 0, g_sc = NEGI, g_j = 0;
+    for (int s = 0; s < Q + T - 1; ++s) {
+      int ilo = s - (T - 1) > 0 ? s - (T - 1) : 0;
+      int ihi = s < Q - 1 ? s : Q - 1;
+      for (int i = ilo; i <= ihi; ++i) {
+        int j = s - i;
+        int32_t h = at(H, i + 1, j + 1);
+        if (h > best_sc) { best_sc = h; best_i = i; best_j = j; }
+        if (i == Q - 1 && h > g_sc) { g_sc = h; g_j = j; }
+      }
+    }
+    int32_t end_sc = at(H, Q, T);
+    // pick traceback cell
+    int si, sj, sc;
+    if (mode == 0) {
+      si = Q - 1; sj = T - 1; sc = end_sc;
+    } else {
+      bool use_end = g_sc > NEGI / 2 && g_sc + end_bonus >= best_sc;
+      if (use_end && g_sc > 0) { si = Q - 1; sj = g_j; sc = g_sc; }
+      else if (best_sc > 0) { si = best_i; sj = best_j; sc = best_sc; }
+      else { continue; }  // no positive extension
+    }
+    // traceback (same state machine as traceback_batch)
+    int n_ops = 0;
+    bool overflow = false;
+    auto emit = [&](int op, int cnt) {
+      if (n_ops > 0 && (ops[n_ops - 1] & 0xF) == op) ops[n_ops - 1] += cnt << 4;
+      else if (n_ops < max_ops) ops[n_ops++] = (cnt << 4) | op;
+      else overflow = true;
+    };
+    int i = si, j = sj, state = 0;
+    while (i >= 0 && j >= 0 && !overflow) {
+      uint8_t byte = dir[(int64_t)i * T + j];
+      if (state == 0) {
+        int src = byte & H_SRC_MASK;
+        if (src == 0) { emit(0, 1); --i; --j; }
+        else state = src;
+      } else if (state == 1 || state == 2) {
+        emit(2, 1);
+        bool cont = byte & (state == 1 ? E1_CONT : E2_CONT);
+        --j;
+        if (!cont) state = 0;
+      } else {
+        emit(1, 1);
+        bool cont = byte & (state == 3 ? F1_CONT : F2_CONT);
+        --i;
+        if (!cont) state = 0;
+      }
+    }
+    if (i >= 0) emit(1, i + 1);
+    if (j >= 0) emit(2, j + 1);
+    for (int x = 0, y = n_ops - 1; x < y; ++x, --y) std::swap(ops[x], ops[y]);
+    out_n[job] = overflow ? -1 : n_ops;
+    info[0] = sc;
+    info[1] = si + 1;
+    info[2] = sj + 1;
   }
 }
 

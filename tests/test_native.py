@@ -48,3 +48,71 @@ def test_native_traceback_matches_python():
         exp = traceback_one(dirs[:, i, :], int(ql[i]), int(tl[i]), W,
                             int(ql[i]) - 1, int(tl[i]) - 1)
         assert got[i] == exp, f"job {i}"
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_native_small_dp_matches_device_path():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(21)
+    P = ExtendParams(2, 4, 4, 2, 24, 1, 1)
+    J = 16
+    QS, TS = 64, 128
+    q = np.full((J, QS), 4, np.uint8)
+    t = np.full((J, TS), 4, np.uint8)
+    ql = np.zeros(J, np.int32)
+    tl = np.zeros(J, np.int32)
+    for i in range(J):
+        n = int(rng.integers(5, 60))
+        a = rng.integers(0, 4, n).astype(np.uint8)
+        b = list(a)
+        for _ in range(int(rng.integers(0, 4))):
+            p_ = int(rng.integers(0, len(b)))
+            op = rng.integers(0, 3)
+            if op == 0:
+                b[p_] = (b[p_] + 1) % 4
+            elif op == 1:
+                b.insert(p_, int(rng.integers(0, 4)))
+            else:
+                del b[p_]
+        b = (b + [int(x) for x in rng.integers(0, 4, 30)])[: TS]
+        q[i, :n] = a
+        t[i, : len(b)] = b
+        ql[i], tl[i] = n, len(b)
+    # device reference (W covers everything -> unbanded semantics)
+    dev = extend_dp(
+        jnp.asarray(np.pad(q, ((0, 0), (0, 128 - QS)), constant_values=4)),
+        jnp.asarray(np.pad(t, ((0, 0), (0, 128 - TS)), constant_values=4))
+        if TS < 128 else jnp.asarray(t),
+        jnp.asarray(ql), jnp.asarray(tl), 128, max(TS, 128), 256, P,
+    )
+    for mode in (0, 1):
+        got = native.extend_small_batch(q, t, ql, tl, P, -1, mode)
+        assert got is not None
+        dirs = np.asarray(dev["dirs"])
+        for i in range(J):
+            ops, sc, qc, tc = got[i]
+            if mode == 0:
+                exp_sc = int(dev["end_sc"][i])
+                exp = traceback_one(
+                    dirs[:, i, :], int(ql[i]), int(tl[i]), 256,
+                    int(ql[i]) - 1, int(tl[i]) - 1,
+                )
+                assert sc == exp_sc, f"job {i} end_sc"
+                assert ops == exp, f"job {i} global cigar"
+            else:
+                g_sc, b_sc = int(dev["g_sc"][i]), int(dev["best_sc"][i])
+                use_end = g_sc > -(1 << 27) and g_sc + (-1) >= b_sc
+                if use_end and g_sc > 0:
+                    exp_cell = (int(ql[i]) - 1, int(dev["g_j"][i]), g_sc)
+                elif b_sc > 0:
+                    exp_cell = (int(dev["best_i"][i]), int(dev["best_j"][i]), b_sc)
+                else:
+                    assert ops == [] and sc == 0
+                    continue
+                assert (qc - 1, tc - 1, sc) == exp_cell, f"job {i} cell"
+                exp = traceback_one(
+                    dirs[:, i, :], int(ql[i]), int(tl[i]), 256,
+                    exp_cell[0], exp_cell[1],
+                )
+                assert ops == exp, f"job {i} ext cigar"
