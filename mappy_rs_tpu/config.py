@@ -245,6 +245,12 @@ class AlignerConfig:
     # chaining block size C (mm's max_chain_iter analogue; predecessor
     # reach is [1, 2C) anchors back in the block max-plus DP)
     chain_window: int = 32
+    # extension engine: "auto" | "device" | "host".  The Mosaic device
+    # kernel is bit-identical to the C++ host kernel; "auto" prefers
+    # host when the native lib is built because the traceback tensor
+    # must cross device->host and tunnel-attached dev chips download
+    # at <1MB/s.  On real pods with local PCIe/ICI use "device".
+    extension_backend: str = "auto"
 
     def replace(self, **kw) -> "AlignerConfig":
         return dataclasses.replace(self, **kw)

@@ -273,13 +273,19 @@ class AlignmentEngine:
 
         if not jobs:
             return
+        from .. import native
+
+        native_ok = native.available()
+        backend = self.cfg.extension_backend
+        if backend == "auto":
+            backend = "host" if native_ok else "device"
+        if backend == "host" and native_ok:
+            self._run_jobs_host(jobs)
+            return
         # small jobs (most flanks): full DP on host in C++ — cheaper
         # than a device dispatch and removes whole shape classes
         small: List[_ExtJob] = []
         rest: List[_ExtJob] = []
-        from .. import native
-
-        native_ok = native.available()
         for j in jobs:
             if native_ok and len(j.q) <= 64 and len(j.t) <= 160:
                 small.append(j)
@@ -405,6 +411,59 @@ class AlignmentEngine:
                             job.region, f"_{job.kind}",
                             (c, sc, s_i + 1, s_j + 1),
                         )
+
+    def _run_jobs_host(self, jobs: List[_ExtJob]) -> None:
+        """All extension jobs through the C++ banded DP (bit-identical
+        to the device kernels; avoids device->host dirs transfers)."""
+        from .. import native
+
+        with self.metrics.timer("extend"):
+            # group by (band W, mode) — strides are free-form in C++
+            groups: Dict[Tuple[int, int], List[_ExtJob]] = {}
+            for j in jobs:
+                ql, tl = len(j.q), len(j.t)
+                if ql == 0 or tl == 0:
+                    self._store_empty(j)
+                    continue
+                drift = abs(ql - tl)
+                if j.kind == "mid":
+                    W = _pow2_at_least(max(128, 2 * drift + 128), 128)
+                else:
+                    W = self.flank_band
+                mode = 0 if j.kind == "mid" else 1
+                groups.setdefault((W, mode), []).append(j)
+            for (W, mode), sel in groups.items():
+                QS = max(len(j.q) for j in sel)
+                TS = max(len(j.t) for j in sel)
+                q = np.full((len(sel), QS), 4, np.uint8)
+                t = np.full((len(sel), TS), 4, np.uint8)
+                ql = np.zeros(len(sel), np.int32)
+                tl = np.zeros(len(sel), np.int32)
+                for i, j in enumerate(sel):
+                    q[i, : len(j.q)] = j.q
+                    t[i, : len(j.t)] = j.t
+                    ql[i], tl[i] = len(j.q), len(j.t)
+                res = native.extend_banded_batch(
+                    q, t, ql, tl, W, self._ext_params, self.opt.end_bonus,
+                    mode,
+                )
+                self.metrics.add(
+                    "dp_cells", float(len(sel)) * (QS + TS - 1) * W
+                )
+                if res is None:
+                    for j in sel:
+                        self._store_empty(j)
+                    continue
+                for j, (ops, sc, qc, tc) in zip(sel, res):
+                    if mode == 0:
+                        if ops:
+                            j.region._mid = (ops, sc)  # type: ignore[attr-defined]
+                        else:
+                            self._store_empty(j)
+                    elif ops or sc > 0:
+                        setattr(j.region, f"_{j.kind}", (ops, sc, qc, tc))
+                    else:
+                        self._store_empty(j)
 
     def _run_small_jobs(self, jobs: List[_ExtJob]) -> None:
         from .. import native

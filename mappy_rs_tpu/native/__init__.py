@@ -71,6 +71,17 @@ def _load() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         ]
     )
+    lib.extend_banded_batch.argtypes = (
+        [np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")] * 2
+        + [np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")] * 2
+        + [ctypes.c_int] * 13
+        + [
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ]
+    )
     _lib = lib
     return _lib
 
@@ -160,4 +171,49 @@ def extend_small_batch(
             return None  # overflow; caller falls back
         ops = [(int(v) >> 4, int(v) & 0xF) for v in out_ops[j, :n]]
         res.append((ops, int(out_info[j, 0]), int(out_info[j, 1]), int(out_info[j, 2])))
+    return res
+
+
+def extend_banded_batch(
+    q: np.ndarray,
+    t: np.ndarray,
+    qlen: np.ndarray,
+    tlen: np.ndarray,
+    W: int,
+    params,
+    end_bonus: int,
+    mode: int,
+    max_ops: int = 0,
+):
+    """Banded dual-affine DP + traceback on host (same band/tie
+    semantics as the device kernels).  Returns per-job
+    (ops, score, q_consumed, t_consumed), or None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    J, QS = q.shape
+    TS = t.shape[1]
+    if max_ops <= 0:
+        max_ops = 2 * (QS + TS) + 8
+    out_ops = np.zeros((J, max_ops), np.int32)
+    out_n = np.zeros(J, np.int32)
+    out_info = np.zeros((J, 3), np.int32)
+    lib.extend_banded_batch(
+        np.ascontiguousarray(q), np.ascontiguousarray(t),
+        np.ascontiguousarray(qlen, np.int32),
+        np.ascontiguousarray(tlen, np.int32),
+        J, QS, TS, W,
+        params.a, params.b, params.q, params.e, params.q2, params.e2,
+        params.sc_ambi, end_bonus, mode,
+        out_ops.reshape(-1), out_n, max_ops, out_info.reshape(-1),
+    )
+    res = []
+    for j in range(J):
+        n = int(out_n[j])
+        if n < 0:
+            return None
+        ops = [(int(v) >> 4, int(v) & 0xF) for v in out_ops[j, :n]]
+        res.append(
+            (ops, int(out_info[j, 0]), int(out_info[j, 1]), int(out_info[j, 2]))
+        )
     return res

@@ -246,6 +246,156 @@ void extend_small_batch(const uint8_t* qs, const uint8_t* ts,
   }
 }
 
+// BANDED dual-affine DP + traceback, host-side, same static
+// anti-diagonal band as the device kernels (lane d of diagonal s is
+// row i = band_lo(s)+d).  Bit-compatible with ops/extend.py /
+// extend_pallas.py: same borders, precedence, continue flags, and
+// tracker tie rules (smallest (s, i) among equals for best cell,
+// smallest s for the last-row tracker).  Used as the extension engine
+// when device->host transfer is the bottleneck (tunnel-attached dev
+// chips move ~0.4MB/s down; the dirs tensor is tens of MB).
+void extend_banded_batch(const uint8_t* qs, const uint8_t* ts,
+                         const int32_t* qlen, const int32_t* tlen,
+                         int J, int QSTRIDE, int TSTRIDE, int W,
+                         int a, int b, int gq, int ge, int gq2, int ge2,
+                         int sc_ambi, int end_bonus, int mode,
+                         int32_t* out_ops, int32_t* out_n, int max_ops,
+                         int32_t* out_info) {
+  const int32_t NEGI = -(1 << 28);
+  for (int job = 0; job < J; ++job) {
+    int Q = qlen[job], T = tlen[job];
+    const uint8_t* q = qs + (int64_t)job * QSTRIDE;
+    const uint8_t* t = ts + (int64_t)job * TSTRIDE;
+    int32_t* ops = out_ops + (int64_t)job * max_ops;
+    int32_t* info = out_info + (int64_t)job * 3;
+    out_n[job] = 0;
+    info[0] = info[1] = info[2] = 0;
+    if (Q <= 0 || T <= 0) continue;
+    int S = Q + T - 1;
+    // band state, indexed by lane d for the current/previous diagonals
+    std::vector<int32_t> H1(W, NEGI), E1v(W, NEGI), E2v(W, NEGI),
+        F1v(W, NEGI), F2v(W, NEGI), H2(W, NEGI);
+    std::vector<int32_t> H1n(W), E1n(W), E2n(W), F1n(W), F2n(W);
+    std::vector<uint8_t> dir((int64_t)S * W, 0);
+    auto gap = [&](long l) {
+      long g1 = gq + l * ge, g2 = gq2 + l * ge2;
+      return (int32_t)(g1 < g2 ? g1 : g2);
+    };
+    int32_t best_sc = NEGI, best_i = 0, best_j = 0;
+    int32_t g_sc = NEGI, g_j = 0, end_sc = NEGI;
+    int lo1 = 0, lo2 = 0;
+    for (int s = 0; s < S; ++s) {
+      int lo = band_lo(s, Q, T, W);
+      int d1 = lo - lo1;  // 0/1
+      int d2 = lo - lo2;  // 0/1/2
+      for (int d = 0; d < W; ++d) {
+        int i = lo + d, j = s - i;
+        bool ok = i <= (s < Q - 1 ? s : Q - 1) && j >= 0 && j <= T - 1;
+        if (!ok) {
+          H1n[d] = E1n[d] = E2n[d] = F1n[d] = F2n[d] = NEGI;
+          continue;
+        }
+        int du = d + d1 - 1, dl = d + d1, dd_ = d + d2 - 1;
+        int32_t H_up = (du >= 0 && du < W) ? H1[du] : NEGI;
+        int32_t F1_up = (du >= 0 && du < W) ? F1v[du] : NEGI;
+        int32_t F2_up = (du >= 0 && du < W) ? F2v[du] : NEGI;
+        int32_t H_left = (dl >= 0 && dl < W) ? H1[dl] : NEGI;
+        int32_t E1_left = (dl >= 0 && dl < W) ? E1v[dl] : NEGI;
+        int32_t E2_left = (dl >= 0 && dl < W) ? E2v[dl] : NEGI;
+        int32_t H_diag = (dd_ >= 0 && dd_ < W) ? H2[dd_] : NEGI;
+        if (i == 0 && j == 0) H_diag = 0;
+        else if (i == 0) H_diag = -gap(j);
+        else if (j == 0) H_diag = -gap(i);
+        if (j == 0) { H_left = -gap(i + 1); E1_left = NEGI; E2_left = NEGI; }
+        if (i == 0) { H_up = -gap(j + 1); F1_up = NEGI; F2_up = NEGI; }
+        int32_t e1o = H_left - gq;
+        int32_t e1 = (E1_left > e1o ? E1_left : e1o) - ge;
+        uint8_t e1c = E1_left > e1o ? E1_CONT : 0;
+        int32_t e2o = H_left - gq2;
+        int32_t e2 = (E2_left > e2o ? E2_left : e2o) - ge2;
+        uint8_t e2c = E2_left > e2o ? E2_CONT : 0;
+        int32_t f1o = H_up - gq;
+        int32_t f1 = (F1_up > f1o ? F1_up : f1o) - ge;
+        uint8_t f1c = F1_up > f1o ? F1_CONT : 0;
+        int32_t f2o = H_up - gq2;
+        int32_t f2 = (F2_up > f2o ? F2_up : f2o) - ge2;
+        uint8_t f2c = F2_up > f2o ? F2_CONT : 0;
+        int qc = q[i], tc = t[j];
+        int32_t pair = (qc == 4 || tc == 4) ? -sc_ambi : (qc == tc ? a : -b);
+        int32_t h = H_diag + pair;
+        uint8_t src = 0;
+        if (e1 > h) { h = e1; src = 1; }
+        if (e2 > h) { h = e2; src = 2; }
+        if (f1 > h) { h = f1; src = 3; }
+        if (f2 > h) { h = f2; src = 4; }
+        H1n[d] = h;
+        E1n[d] = e1;
+        E2n[d] = e2;
+        F1n[d] = f1;
+        F2n[d] = f2;
+        dir[(int64_t)s * W + d] = src | e1c | e2c | f1c | f2c;
+        // trackers: device order is (s asc, lane asc), strict '>'
+        if (h > best_sc) { best_sc = h; best_i = i; best_j = j; }
+        if (i == Q - 1 && h > g_sc) { g_sc = h; g_j = j; }
+        if (i == Q - 1 && j == T - 1) end_sc = h;
+      }
+      H2.swap(H1);
+      H1.swap(H1n);
+      E1v.swap(E1n);
+      E2v.swap(E2n);
+      F1v.swap(F1n);
+      F2v.swap(F2n);
+      lo2 = lo1;
+      lo1 = lo;
+    }
+    int si, sj, sc;
+    if (mode == 0) {
+      si = Q - 1; sj = T - 1; sc = end_sc;
+      if (end_sc <= NEGI / 2) continue;  // end cell unreachable in band
+    } else {
+      bool use_end = g_sc > NEGI / 2 && g_sc + end_bonus >= best_sc;
+      if (use_end && g_sc > 0) { si = Q - 1; sj = g_j; sc = g_sc; }
+      else if (best_sc > 0) { si = best_i; sj = best_j; sc = best_sc; }
+      else continue;
+    }
+    int n_ops = 0;
+    bool overflow = false;
+    auto emit = [&](int op, int cnt) {
+      if (n_ops > 0 && (ops[n_ops - 1] & 0xF) == op) ops[n_ops - 1] += cnt << 4;
+      else if (n_ops < max_ops) ops[n_ops++] = (cnt << 4) | op;
+      else overflow = true;
+    };
+    int i = si, j = sj, state = 0;
+    while (i >= 0 && j >= 0 && !overflow) {
+      int s = i + j;
+      int d = i - band_lo(s, Q, T, W);
+      uint8_t byte = (d >= 0 && d < W) ? dir[(int64_t)s * W + d] : 0;
+      if (state == 0) {
+        int src = byte & H_SRC_MASK;
+        if (src == 0) { emit(0, 1); --i; --j; }
+        else state = src;
+      } else if (state == 1 || state == 2) {
+        emit(2, 1);
+        bool cont = byte & (state == 1 ? E1_CONT : E2_CONT);
+        --j;
+        if (!cont) state = 0;
+      } else {
+        emit(1, 1);
+        bool cont = byte & (state == 3 ? F1_CONT : F2_CONT);
+        --i;
+        if (!cont) state = 0;
+      }
+    }
+    if (i >= 0) emit(1, i + 1);
+    if (j >= 0) emit(2, j + 1);
+    for (int x = 0, y = n_ops - 1; x < y; ++x, --y) std::swap(ops[x], ops[y]);
+    out_n[job] = overflow ? -1 : n_ops;
+    info[0] = sc;
+    info[1] = si + 1;
+    info[2] = sj + 1;
+  }
+}
+
 // CIGAR statistics: mlen (exact matches), blen (M+I+D), NM.
 void cigar_stats(const int32_t* ops, int n_ops, const uint8_t* q,
                  const uint8_t* t, int32_t* out) {

@@ -116,3 +116,69 @@ def test_native_small_dp_matches_device_path():
                     exp_cell[0], exp_cell[1],
                 )
                 assert ops == exp, f"job {i} ext cigar"
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_native_banded_matches_device_path():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(33)
+    P = ExtendParams(2, 4, 4, 2, 24, 1, 1)
+    J = 8
+    QS = TS = 300
+    W = 128
+    q = np.full((J, QS), 4, np.uint8)
+    t = np.full((J, TS), 4, np.uint8)
+    ql = np.zeros(J, np.int32)
+    tl = np.zeros(J, np.int32)
+    for i in range(J):
+        n = int(rng.integers(100, 290))
+        a = rng.integers(0, 4, n).astype(np.uint8)
+        b = list(a)
+        for _ in range(int(rng.integers(0, 12))):
+            p_ = int(rng.integers(0, len(b)))
+            op = rng.integers(0, 3)
+            if op == 0:
+                b[p_] = (b[p_] + 1) % 4
+            elif op == 1:
+                b.insert(p_, int(rng.integers(0, 4)))
+            else:
+                del b[p_]
+        b = np.asarray(b[:TS], np.uint8)
+        q[i, :n] = a
+        t[i, : len(b)] = b
+        ql[i], tl[i] = n, len(b)
+    QMAX = TMAX = 512
+    dev = extend_dp(
+        jnp.asarray(np.pad(q, ((0, 0), (0, QMAX - QS)), constant_values=4)),
+        jnp.asarray(np.pad(t, ((0, 0), (0, TMAX - TS)), constant_values=4)),
+        jnp.asarray(ql), jnp.asarray(tl), QMAX, TMAX, W, P,
+    )
+    dirs = np.asarray(dev["dirs"])
+    for mode in (0, 1):
+        got = native.extend_banded_batch(q, t, ql, tl, W, P, -1, mode)
+        assert got is not None
+        for i in range(J):
+            ops, sc, qc, tc = got[i]
+            if mode == 0:
+                assert sc == int(dev["end_sc"][i]), f"job {i} end_sc"
+                exp = traceback_one(
+                    dirs[:, i, :], int(ql[i]), int(tl[i]), W,
+                    int(ql[i]) - 1, int(tl[i]) - 1,
+                )
+                assert ops == exp, f"job {i} global cigar"
+            else:
+                g_sc, b_sc = int(dev["g_sc"][i]), int(dev["best_sc"][i])
+                use_end = g_sc > -(1 << 27) and g_sc + (-1) >= b_sc
+                if use_end and g_sc > 0:
+                    cell = (int(ql[i]) - 1, int(dev["g_j"][i]), g_sc)
+                elif b_sc > 0:
+                    cell = (int(dev["best_i"][i]), int(dev["best_j"][i]), b_sc)
+                else:
+                    assert ops == []
+                    continue
+                assert (qc - 1, tc - 1, sc) == cell, f"job {i} cell"
+                exp = traceback_one(
+                    dirs[:, i, :], int(ql[i]), int(tl[i]), W, cell[0], cell[1]
+                )
+                assert ops == exp, f"job {i} cigar"
