@@ -48,6 +48,7 @@ def _pow2_at_least(n: int, lo: int = 1) -> int:
 from functools import partial  # noqa: E402
 
 import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
 
 @partial(
@@ -70,7 +71,17 @@ def _front_end(
         f, p = chain_scores_pallas(anchors, chain_params)
     else:
         f, p = chain_scores_block(anchors, chain_params, chain_window)
-    return anchors, f, p
+    # pack for ONE device->host transfer (downloads are the scarce
+    # resource on tunnel-attached chips): meta = rev<<30|valid<<29|rid
+    meta = (
+        (anchors["rev"].astype(jnp.int32) << 30)
+        | (anchors["valid"].astype(jnp.int32) << 29)
+        | anchors["rid"].astype(jnp.int32)
+    )
+    stacked = jnp.stack(
+        [meta, anchors["rpos"], anchors["qpos"], f, p], axis=0
+    )
+    return stacked, anchors["n"]
 
 
 @dataclass
@@ -168,7 +179,7 @@ class AlignmentEngine:
             import jax
 
             with self.metrics.timer("front_end"):
-                anchors, f, p = _front_end(
+                stacked, n_dev = _front_end(
                     jnp.asarray(batch),
                     jnp.asarray(lens),
                     self.dev.key_hi,
@@ -187,9 +198,22 @@ class AlignmentEngine:
                     self.cfg.chain_window,
                     jax.default_backend() == "tpu",
                 )
-                f = np.asarray(f)
-                p = np.asarray(p)
-                anchors_np = {k2: np.asarray(v) for k2, v in anchors.items()}
+                # trim the transfer to the anchors actually present
+                n_np = np.asarray(n_dev)
+                A_used = _pow2_at_least(max(int(n_np.max()), 16))
+                A_used = min(A_used, A)
+                arr = np.asarray(stacked[:, :, :A_used])
+                meta = arr[0]
+                anchors_np = {
+                    "rev": (meta >> 30) & 1,
+                    "valid": ((meta >> 29) & 1).astype(bool),
+                    "rid": meta & ((1 << 29) - 1),
+                    "rpos": arr[1],
+                    "qpos": arr[2],
+                    "n": n_np,
+                }
+                f = arr[3]
+                p = arr[4]
 
             jobs: List[_ExtJob] = []
             read_regions: List[Tuple[int, List[Region]]] = []
