@@ -301,8 +301,7 @@ class Aligner:
     ) -> List[Mapping]:
         if seq2 is not None:
             raise NotImplementedError("Using `seq2` is not implemented")
-        with self._engine_lock:
-            regions = self._engine.map_batch([seq], cs=cs, md=MD)[0]
+        regions = self._engine.map_batch([seq], cs=cs, md=MD)[0]
         return self._to_mappings(regions)
 
     def map_no_op(
@@ -354,10 +353,12 @@ class Aligner:
         # threaded path hard-codes cs=True, MD=False (lib.rs:587-592).
         # Identical reads within a device batch are mapped once and
         # fanned back out (adaptive-sampling streams re-see sequences).
+        # NB: no engine-wide lock — the engine is stateless per call
+        # (thread-safe metrics, thread-safe jit caches), so one worker's
+        # host-side extension overlaps another's device front-end.
         uniq: Dict[str, List[Mapping]] = {}
         keys = [s for s in dict.fromkeys(seqs)]
-        with self._engine_lock:
-            regs = self._engine.map_batch(keys, cs=True, md=False)
+        regs = self._engine.map_batch(keys, cs=True, md=False)
         for s, r in zip(keys, regs):
             uniq[s] = self._to_mappings(r)
         return [uniq[s] for s in seqs]
