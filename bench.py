@@ -84,7 +84,7 @@ def main() -> None:
     rng = np.random.default_rng(0)
     genome = "".join(rng.choice(list("ACGT"), size=GENOME_LEN))
     al = Aligner(seq=genome, preset="map-ont")
-    al.enable_threading(2)
+    al.enable_threading(4)
 
     reads = simulate(rng, genome, N_READS, READ_LEN, ERROR_RATE)
     payload = [{"i": i, "seq": r} for i, r in enumerate(reads)]
