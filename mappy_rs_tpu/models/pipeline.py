@@ -90,6 +90,7 @@ class _ExtJob:
     kind: str  # 'left' | 'mid' | 'right'
     q: np.ndarray
     t: np.ndarray
+    seg: int = 0  # segment index for multi-part mid alignments
 
 
 class AlignmentEngine:
@@ -231,7 +232,14 @@ class AlignmentEngine:
 
             self._run_jobs(jobs)
             for ri, regions in read_regions:
-                done = [r for r in regions if hasattr(r, "_mid")]
+                # a region survives only if EVERY mid segment aligned
+                # (an empty part would silently drop query/ref span)
+                done = [
+                    r
+                    for r in regions
+                    if hasattr(r, "_mid_parts")
+                    and all(x is not None and x[0] for x in r._mid_parts)
+                ]
                 self._finalize(done, codes[ri], cs, md)
                 done.sort(key=lambda r: (r.parent != r.id, -r.dp_score))
                 out[ri] = done
@@ -256,10 +264,21 @@ class AlignmentEngine:
             r._qs_a, r._qe_a = qs_a, qe_a  # type: ignore[attr-defined]
             roff = int(offs[r.rid])
             rlen = int(self.index.seq_lens[r.rid])
-            # middle: global over the chained span
-            jobs.append(
-                _ExtJob(r, "mid", q_al[qs_a:qe_a], ref[roff + r.rs : roff + r.re])
-            )
+            # middle: global over the chained span.  Long regions are
+            # split at chain anchors (minimap2's per-segment alignment)
+            # so the band stays narrow regardless of read length.
+            segs = self._mid_segments(r, qs_a, qe_a)
+            r._n_mid = len(segs)  # type: ignore[attr-defined]
+            r._mid_parts = [None] * len(segs)  # type: ignore[attr-defined]
+            for si, (q0, q1, t0, t1) in enumerate(segs):
+                jobs.append(
+                    _ExtJob(
+                        r, "mid",
+                        q_al[q0:q1],
+                        ref[roff + t0 : roff + t1],
+                        seg=si,
+                    )
+                )
             # left flank: reversed extension toward query start
             if qs_a > 0:
                 tl0 = min(r.rs, qs_a + bw)
@@ -290,6 +309,31 @@ class AlignmentEngine:
             else:
                 r._right = ([], 0, 0, 0)  # type: ignore[attr-defined]
         return jobs
+
+    SEG_LEN = 384  # target query length per mid segment
+
+    def _mid_segments(self, r: Region, qs_a: int, qe_a: int):
+        """Split the chained span at anchors every ~SEG_LEN query bases.
+
+        Anchors are exact k-mer matches, so cutting the global DP at an
+        anchor's end cell is lossless for any near-optimal alignment
+        (mm_align1 aligns anchor-to-anchor the same way)."""
+        span = qe_a - qs_a
+        if span <= 2 * self.SEG_LEN or len(r.anchors_qpos) < 3:
+            return [(qs_a, qe_a, r.rs, r.re)]
+        segs = []
+        q_prev, t_prev = qs_a, r.rs
+        last_q = int(r.anchors_qpos[0])
+        for aq, at_ in zip(r.anchors_qpos[1:-1], r.anchors_rpos[1:-1]):
+            aq, at_ = int(aq), int(at_)
+            if aq - last_q >= self.SEG_LEN and aq + 1 - q_prev > 0:
+                # cut AFTER this anchor's end cell (inclusive)
+                if aq + 1 > q_prev and at_ + 1 > t_prev:
+                    segs.append((q_prev, aq + 1, t_prev, at_ + 1))
+                    q_prev, t_prev = aq + 1, at_ + 1
+                    last_q = aq
+        segs.append((q_prev, qe_a, t_prev, r.re))
+        return [s for s in segs if s[1] > s[0] and s[3] > s[2]]
 
     # ------------------------------------------------------------------
     def _run_jobs(self, jobs: List[_ExtJob]) -> None:
@@ -429,7 +473,7 @@ class AlignmentEngine:
                 for (ji, s_i, s_j, sc), c in zip(starts, cigs or []):
                     job = sub[ji]
                     if job.kind == "mid":
-                        job.region._mid = (c, sc)  # type: ignore[attr-defined]
+                        job.region._mid_parts[job.seg] = (c, sc)  # type: ignore[attr-defined]
                     else:
                         setattr(
                             job.region, f"_{job.kind}",
@@ -480,10 +524,7 @@ class AlignmentEngine:
                     continue
                 for j, (ops, sc, qc, tc) in zip(sel, res):
                     if mode == 0:
-                        if ops:
-                            j.region._mid = (ops, sc)  # type: ignore[attr-defined]
-                        else:
-                            self._store_empty(j)
+                        j.region._mid_parts[j.seg] = (ops, sc)  # type: ignore[attr-defined]
                     elif ops or sc > 0:
                         setattr(j.region, f"_{j.kind}", (ops, sc, qc, tc))
                     else:
@@ -517,7 +558,7 @@ class AlignmentEngine:
                     continue
                 for j, (ops, sc, qc, tc) in zip(sel, res):
                     if mode == 0:
-                        j.region._mid = (ops, sc)  # type: ignore[attr-defined]
+                        j.region._mid_parts[j.seg] = (ops, sc)  # type: ignore[attr-defined]
                     elif ops or sc > 0:
                         setattr(j.region, f"_{j.kind}", (ops, sc, qc, tc))
                     else:
@@ -526,7 +567,7 @@ class AlignmentEngine:
     def _store_empty(self, job: _ExtJob) -> None:
         r = job.region
         if job.kind == "mid":
-            r._mid = ([], 0)  # type: ignore[attr-defined]
+            r._mid_parts[job.seg] = ([], 0)  # type: ignore[attr-defined]
         elif job.kind == "left":
             r._left = ([], 0, 0, 0)  # type: ignore[attr-defined]
         else:
@@ -540,7 +581,9 @@ class AlignmentEngine:
         offs = self.index.seq_offsets
         qlen = len(codes)
         for r in regions:
-            mid_c, mid_sc = getattr(r, "_mid", ([], 0))
+            parts = getattr(r, "_mid_parts", [([], 0)])
+            mid_c = cig.merge_cigars([c for c, _ in parts])
+            mid_sc = sum(sc for _, sc in parts)
             left = getattr(r, "_left", ([], 0, 0, 0))
             right = getattr(r, "_right", ([], 0, 0, 0))
             lc, lsc, lq, lt = left

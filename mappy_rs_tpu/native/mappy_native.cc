@@ -288,13 +288,18 @@ void extend_banded_batch(const uint8_t* qs, const uint8_t* ts,
       int lo = band_lo(s, Q, T, W);
       int d1 = lo - lo1;  // 0/1
       int d2 = lo - lo2;  // 0/1/2
-      for (int d = 0; d < W; ++d) {
+      // exact in-band lane range: i in [max(lo, s-T+1), min(s, Q-1)]
+      int i_min = s - (T - 1) > lo ? s - (T - 1) : lo;
+      int i_max = s < Q - 1 ? s : Q - 1;
+      int d_lo = i_min - lo, d_hi = i_max - lo;
+      if (d_lo < 0) d_lo = 0;
+      if (d_hi > W - 1) d_hi = W - 1;
+      for (int d = 0; d < d_lo && d < W; ++d)
+        H1n[d] = E1n[d] = E2n[d] = F1n[d] = F2n[d] = NEGI;
+      for (int d = (d_hi < -1 ? 0 : d_hi + 1); d < W; ++d)
+        H1n[d] = E1n[d] = E2n[d] = F1n[d] = F2n[d] = NEGI;
+      for (int d = d_lo; d <= d_hi; ++d) {
         int i = lo + d, j = s - i;
-        bool ok = i <= (s < Q - 1 ? s : Q - 1) && j >= 0 && j <= T - 1;
-        if (!ok) {
-          H1n[d] = E1n[d] = E2n[d] = F1n[d] = F2n[d] = NEGI;
-          continue;
-        }
         int du = d + d1 - 1, dl = d + d1, dd_ = d + d2 - 1;
         int32_t H_up = (du >= 0 && du < W) ? H1[du] : NEGI;
         int32_t F1_up = (du >= 0 && du < W) ? F1v[du] : NEGI;

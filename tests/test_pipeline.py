@@ -150,3 +150,44 @@ def test_duplicate_contig_secondary_and_mapq(tmp_path):
     uniq_hits = al.map(other[50:550])
     assert len(uniq_hits) == 1
     assert uniq_hits[0].mapq >= 40
+
+
+def test_long_read_segmented_alignment(tmp_path):
+    """Long reads are aligned anchor-segment-by-segment; the stitched
+    CIGAR must cover the full span with correct coordinates."""
+    rng = np.random.default_rng(5)
+    genome = "".join(rng.choice(list("ACGT"), size=30_000))
+    fa = tmp_path / "g.fa"
+    fa.write_text(f">g\n{genome}\n")
+    al = mappy_rs_tpu.Aligner(str(fa))
+    # 6 kb read with scattered errors and small indels
+    start = 4000
+    s = list(genome[start : start + 6000])
+    for p in rng.choice(5900, 60, replace=False):
+        r = rng.random()
+        if r < 0.5:
+            s[p] = "ACGT"[("ACGT".index(s[p]) + 1) % 4]
+        elif r < 0.75:
+            s[p] = s[p] + "".join(rng.choice(list("ACGT"), size=2))
+        else:
+            s[p] = ""
+    read = "".join(s)
+    hits = al.map(read)
+    assert hits, "long read failed to map"
+    m = hits[0]
+    assert m.target_name == "g"
+    assert abs(m.target_start - start) < 50
+    assert abs(m.target_end - (start + 6000)) < 50
+    assert m.query_start < 30 and m.query_end > len(read) - 30
+    # CIGAR spans must match the reported intervals exactly
+    qspan = sum(n for n, op in m.cigar if op in (0, 1))
+    tspan = sum(n for n, op in m.cigar if op in (0, 2))
+    assert qspan == m.query_end - m.query_start
+    assert tspan == m.target_end - m.target_start
+    assert m.NM < 200
+    # revcomp long read too
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    rc = "".join(comp[c] for c in reversed(read))
+    m2 = al.map(rc)[0]
+    assert m2.strand == -1
+    assert abs(m2.target_start - start) < 50
