@@ -37,9 +37,11 @@ ERROR_RATE = 0.05
 
 def simulate(rng, genome: str, n: int, length: int, err: float):
     reads = []
+    truth = []
     comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
     for _ in range(n):
         start = int(rng.integers(0, len(genome) - length))
+        truth.append(start)
         s = list(genome[start : start + length])
         # mixed substitutions/ins/del at the ONT-ish error rate
         i = 0
@@ -62,7 +64,7 @@ def simulate(rng, genome: str, n: int, length: int, err: float):
         if rng.random() < 0.5:
             read = "".join(comp[c] for c in reversed(read))
         reads.append(read)
-    return reads
+    return reads, truth
 
 
 def _enable_compile_cache() -> None:
@@ -86,7 +88,7 @@ def main() -> None:
     al = Aligner(seq=genome, preset="map-ont")
     al.enable_threading(4)
 
-    reads = simulate(rng, genome, N_READS, READ_LEN, ERROR_RATE)
+    reads, truth = simulate(rng, genome, N_READS, READ_LEN, ERROR_RATE)
     payload = [{"i": i, "seq": r} for i, r in enumerate(reads)]
 
     # warm-up: compile all shapes (same device batch size as the run;
@@ -95,10 +97,14 @@ def main() -> None:
     for _ in al.map_batch(payload[:256]):
         pass
 
+    n_correct = 0
     t0 = time.time()
-    for mappings, _ in al.map_batch(payload):
+    for mappings, data in al.map_batch(payload):
         if mappings:
             n_hit += 1
+            m = mappings[0]
+            if abs(m.target_start - truth[data["i"]]) < 100:
+                n_correct += 1
     dt = time.time() - t0
     rps = N_READS / dt
     print(
@@ -113,7 +119,8 @@ def main() -> None:
     )
     m = al.metrics
     print(
-        f"# mapped {n_hit}/{N_READS} reads in {dt:.2f}s "
+        f"# accuracy: {n_correct}/{N_READS} within 100bp of truth; "
+        f"mapped {n_hit}/{N_READS} reads in {dt:.2f}s "
         f"({READ_LEN}bp, {ERROR_RATE:.0%} err, {GENOME_LEN/1e6:.0f}Mbp ref); "
         f"dp_cells/s={m.get('dp_cells_per_sec', 0):.3e} "
         f"stage_times: front_end={m.get('time_front_end_s', 0)}s "

@@ -163,7 +163,9 @@ class AlignmentEngine:
 
         k, w = self.index.k, self.index.w
         B_real = len(idxs)
-        B = min(_pow2_at_least(B_real, 8), self.cfg.device_batch_size)
+        # only two batch shapes per bucket (tiny / full): worker-drain
+        # sizes vary run to run, and every new B is a fresh compile
+        B = 8 if B_real <= 8 else self.cfg.device_batch_size
         M = max(64, L // max(w // 2, 1))
         A = max(256, int(L * self.cfg.anchors_per_base))
         A = _pow2_at_least(A)
