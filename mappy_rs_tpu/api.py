@@ -363,6 +363,22 @@ class Aligner:
             uniq[s] = self._to_mappings(r)
         return [uniq[s] for s in seqs]
 
+    def setup_signal(self) -> None:
+        """Install a SIGINT handler that stops the worker pool.
+
+        Parity with the reference's ctrl-c handler (lib.rs:694-703),
+        which is written but never wired up (the call at lib.rs:432 is
+        commented out); here it actually works when opted into."""
+        import signal
+
+        def _handler(signum, frame):
+            print("Signal intercepted")
+            if self._pool is not None:
+                self._pool.shutdown()
+            raise KeyboardInterrupt
+
+        signal.signal(signal.SIGINT, _handler)
+
     def map_batch(
         self, seqs: Any, back_off: bool = True
     ) -> AlignmentBatchResultIter:
