@@ -515,7 +515,7 @@ class AlignmentEngine:
                     ql[i], tl[i] = len(j.q), len(j.t)
                 res = native.extend_banded_batch(
                     q, t, ql, tl, W, self._ext_params, self.opt.end_bonus,
-                    mode,
+                    mode, zdrop=self.opt.zdrop if mode == 1 else 0,
                 )
                 self.metrics.add(
                     "dp_cells", float(len(sel)) * (QS + TS - 1) * W

@@ -74,7 +74,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.extend_banded_batch.argtypes = (
         [np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")] * 2
         + [np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")] * 2
-        + [ctypes.c_int] * 13
+        + [ctypes.c_int] * 14
         + [
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
@@ -183,6 +183,7 @@ def extend_banded_batch(
     params,
     end_bonus: int,
     mode: int,
+    zdrop: int = 0,
     max_ops: int = 0,
 ):
     """Banded dual-affine DP + traceback on host (same band/tie
@@ -204,7 +205,7 @@ def extend_banded_batch(
         np.ascontiguousarray(tlen, np.int32),
         J, QS, TS, W,
         params.a, params.b, params.q, params.e, params.q2, params.e2,
-        params.sc_ambi, end_bonus, mode,
+        params.sc_ambi, end_bonus, mode, zdrop,
         out_ops.reshape(-1), out_n, max_ops, out_info.reshape(-1),
     )
     res = []

@@ -258,7 +258,7 @@ void extend_banded_batch(const uint8_t* qs, const uint8_t* ts,
                          const int32_t* qlen, const int32_t* tlen,
                          int J, int QSTRIDE, int TSTRIDE, int W,
                          int a, int b, int gq, int ge, int gq2, int ge2,
-                         int sc_ambi, int end_bonus, int mode,
+                         int sc_ambi, int end_bonus, int mode, int zdrop,
                          int32_t* out_ops, int32_t* out_n, int max_ops,
                          int32_t* out_info) {
   const int32_t NEGI = -(1 << 28);
@@ -352,6 +352,14 @@ void extend_banded_batch(const uint8_t* qs, const uint8_t* ts,
       F2v.swap(F2n);
       lo2 = lo1;
       lo1 = lo;
+      // zdrop early termination (extension mode only, ksw2-style):
+      // stop once the whole diagonal fell zdrop below the running max
+      if (mode == 1 && zdrop > 0) {
+        int32_t diag_best = NEGI;
+        for (int d = 0; d < W; ++d)
+          if (H1[d] > diag_best) diag_best = H1[d];
+        if (best_sc > NEGI / 2 && diag_best < best_sc - zdrop) break;
+      }
     }
     int si, sj, sc;
     if (mode == 0) {
