@@ -28,14 +28,28 @@ from .mmi import load_mmi
 _CHUNK = 1 << 20
 
 
-def _sketch_contig_device(codes: np.ndarray, k: int, w: int) -> np.ndarray:
-    """Sketch one contig with the device kernel; returns [n, 3] int64
-    array of (key<<?, split later) rows: columns (key_hi, key_lo combined
-    as uint64), pos_end, strand."""
+def _sketch_contig_device(
+    codes: np.ndarray, k: int, w: int, is_hpc: bool = False
+) -> np.ndarray:
+    """Sketch one contig with the device kernel; returns [n, 3] uint64
+    rows (key, pos_end, strand).  With is_hpc the contig is
+    homopolymer-compressed on the host first; emitted positions map
+    back to uncompressed run-end coordinates."""
     import jax.numpy as jnp
 
-    from ..ops.sketch import sketch
+    from ..ops.sketch import compress_hpc, hpc_spans, sketch
 
+    pos_map_g = None
+    force_g = None
+    if is_hpc:
+        cc, cl, run_end, run_len = compress_hpc(
+            codes[None, :], np.asarray([len(codes)], np.int64)
+        )
+        spans = hpc_spans(run_len, k)
+        n_c = int(cl[0])
+        pos_map_g = run_end[0][:n_c]
+        force_g = (spans[0] >= 256)[:n_c]
+        codes = cc[0][:n_c]
     L = len(codes)
     left, right = w + 2 * k, w + 1
     out_rows: List[np.ndarray] = []
@@ -55,11 +69,17 @@ def _sketch_contig_device(codes: np.ndarray, k: int, w: int) -> np.ndarray:
         # end lies in the discarded right overlap (right > w-1), so any
         # spurious flush emission is dropped by the keep-window filter.
         eff_len = len(chunk)
+        force_inf = None
+        if force_g is not None:
+            fpad = np.zeros(pad_len, bool)
+            fpad[: len(chunk)] = force_g[lo:hi]
+            force_inf = jnp.asarray(fpad[None, :])
         res = sketch(
             jnp.asarray(padded[None, :]),
             jnp.asarray([eff_len], np.int32),
             k,
             w,
+            force_inf,
         )
         mask = np.asarray(res["minimizer"][0])
         pos_all = np.nonzero(mask)[0]
@@ -73,18 +93,27 @@ def _sketch_contig_device(codes: np.ndarray, k: int, w: int) -> np.ndarray:
         kl = np.asarray(res["key_lo"][0])[pos].astype(np.uint64)
         strand = np.asarray(res["strand"][0])[pos].astype(np.uint64)
         key = (kh << np.uint64(32)) | kl
-        abs_pos = (pos - keep_lo + start).astype(np.uint64)
-        out_rows.append(np.stack([key, abs_pos, strand], axis=1))
+        abs_pos = (pos - keep_lo + start).astype(np.int64)
+        if pos_map_g is not None:  # compressed -> uncompressed position
+            abs_pos = pos_map_g[abs_pos]
+        out_rows.append(
+            np.stack([key, abs_pos.astype(np.uint64), strand], axis=1)
+        )
         start = keep_end
     if not out_rows:
         return np.empty((0, 3), np.uint64)
     return np.concatenate(out_rows, axis=0)
 
 
-def _sketch_contig_host(codes: np.ndarray, k: int, w: int) -> np.ndarray:
+def _sketch_contig_host(
+    codes: np.ndarray, k: int, w: int, is_hpc: bool = False
+) -> np.ndarray:
     from .sketch_host import sketch_host
 
-    rows = [(key, pos, z) for key, _, pos, z in sketch_host(codes, k, w, 0)]
+    rows = [
+        (t[0], t[2], t[3])
+        for t in sketch_host(codes, k, w, 0, is_hpc=is_hpc)
+    ]
     return np.asarray(rows, dtype=np.uint64).reshape(-1, 3)
 
 
@@ -95,10 +124,7 @@ def build_index(
 ) -> MinimizerIndex:
     """Build a MinimizerIndex from (name, sequence) pairs."""
     opts = opts or IndexOptions()
-    if opts.flag & 0x1:  # MM_I_HPC
-        raise NotImplementedError(
-            "homopolymer-compressed (HPC) sketching not implemented yet"
-        )
+    is_hpc = bool(opts.flag & 0x1)  # MM_I_HPC
     k, w = opts.k, opts.w
     names: List[str] = []
     lens: List[int] = []
@@ -111,9 +137,9 @@ def build_index(
         all_codes.append(codes)
         if len(codes) >= k:
             rows = (
-                _sketch_contig_device(codes, k, w)
+                _sketch_contig_device(codes, k, w, is_hpc)
                 if use_device
-                else _sketch_contig_host(codes, k, w)
+                else _sketch_contig_host(codes, k, w, is_hpc)
             )
             if len(rows):
                 key = rows[:, 0]

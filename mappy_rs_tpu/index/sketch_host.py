@@ -47,10 +47,15 @@ def hash64(key: int, mask: int) -> int:
     return key
 
 
-def sketch_host(codes: np.ndarray, k: int, w: int, rid: int = 0) -> List[Tuple[int, int, int, int]]:
+def sketch_host(
+    codes: np.ndarray, k: int, w: int, rid: int = 0, is_hpc: bool = False
+) -> List[Tuple[int, int, int, int]]:
     """Exact scalar sketch.  Returns list of (key, rid, pos_end, strand).
 
-    ``codes``: uint8 array of 0..4 base codes.
+    ``codes``: uint8 array of 0..4 base codes.  With ``is_hpc``,
+    homopolymer runs are compressed: one k-mer symbol per run, the
+    recorded position is the run's last base, spans (sum of the k runs'
+    lengths) must stay < 256 for a candidate to be emitted.
     """
     assert 0 < k <= 28 and 0 < w < 256
     L = len(codes)
@@ -58,21 +63,38 @@ def sketch_host(codes: np.ndarray, k: int, w: int, rid: int = 0) -> List[Tuple[i
     shift1 = 2 * (k - 1)
     kf = kr = 0
     run = 0  # consecutive valid bases ending here
-    INF = (U64_MAX, U64_MAX)
-    buf: List[Tuple[int, int]] = [INF] * w  # ring buffer of (x=key, y=pos<<1|strand)
+    INF = (U64_MAX, U64_MAX, 0)
+    buf: List[Tuple[int, int, int]] = [INF] * w  # (x=key, y=pos<<1|strand, span)
     min_item = INF
     min_pos = 0
     buf_pos = 0
-    out: List[Tuple[int, int]] = []
+    out: List[Tuple[int, int, int]] = []
+    tq: List[int] = []  # last <=k run lengths (HPC span queue)
+    kmer_span = 0
 
-    def push(item: Tuple[int, int]) -> None:
-        if item != INF:
+    def push(item: Tuple[int, int, int]) -> None:
+        if item[0] != U64_MAX:
             out.append(item)
 
-    for i in range(L):
+    i = -1
+    while i + 1 < L:
+        i += 1
         c = int(codes[i])
         info = INF
         if c < 4:
+            if is_hpc:
+                skip_len = 1
+                if i + 1 < L and int(codes[i + 1]) == c:
+                    skip_len = 2
+                    while i + skip_len < L and int(codes[i + skip_len]) == c:
+                        skip_len += 1
+                    i += skip_len - 1  # i -> end of the run
+                tq.append(skip_len)
+                kmer_span += skip_len
+                if len(tq) > k:
+                    kmer_span -= tq.pop(0)
+            else:
+                kmer_span = min(run + 1, k)
             kf = ((kf << 2) | c) & mask
             kr = (kr >> 2) | ((3 - c) << shift1)
             if kf == kr:
@@ -81,10 +103,16 @@ def sketch_host(codes: np.ndarray, k: int, w: int, rid: int = 0) -> List[Tuple[i
                 continue
             z = 0 if kf < kr else 1
             run += 1
-            if run >= k:
-                info = (hash64(kf if z == 0 else kr, mask), (i << 1) | z)
+            if run >= k and kmer_span < 256:
+                info = (
+                    hash64(kf if z == 0 else kr, mask),
+                    (i << 1) | z,
+                    kmer_span,
+                )
         else:
             run = 0
+            tq.clear()
+            kmer_span = 0
         buf[buf_pos] = info
         if run == w + k - 1 and min_item != INF:
             # first full window of a run: emit ties of the current minimum
@@ -114,10 +142,13 @@ def sketch_host(codes: np.ndarray, k: int, w: int, rid: int = 0) -> List[Tuple[i
         push(min_item)
 
     seen = set()
-    res: List[Tuple[int, int, int, int]] = []
-    for key, y in out:
+    res = []
+    for key, y, span in out:
         if y in seen:
             continue
         seen.add(y)
-        res.append((key, rid, y >> 1, y & 1))
+        if is_hpc:
+            res.append((key, rid, y >> 1, y & 1, span))
+        else:
+            res.append((key, rid, y >> 1, y & 1))
     return res

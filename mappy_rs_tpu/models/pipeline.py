@@ -56,13 +56,20 @@ import jax.numpy as jnp  # noqa: E402
     static_argnames=("k", "w", "M", "A", "chain_params", "chain_window", "use_pallas"),
 )
 def _front_end(
-    codes, lens, key_hi, key_lo, offsets, counts, pos_rid, pos_ps,
+    codes, lens, sk_lens, hpc_force, hpc_pos_map, hpc_spans,
+    key_hi, key_lo, offsets, counts, pos_rid, pos_ps,
     n_keys, mid_occ, k, w, M, A, chain_params, chain_window, use_pallas,
 ):
     """Fused sketch -> seed lookup -> chain: ONE device dispatch per
     batch (the per-call tunnel latency on the dev setup is ~50-100ms,
-    so call count matters as much as FLOPs)."""
-    mins = sketch_compact(codes, lens, k, w, M)
+    so call count matters as much as FLOPs).  For HPC indexes, `codes`
+    are homopolymer-compressed with `sk_lens` compressed lengths and
+    the hpc_* arrays mapping back to uncompressed coordinates; `lens`
+    stays uncompressed (anchor coordinate transforms need it)."""
+    mins = sketch_compact(
+        codes, sk_lens, k, w, M,
+        force_inf=hpc_force, pos_map=hpc_pos_map, spans=hpc_spans,
+    )
     anchors = collect_anchors(
         mins, lens, key_hi, key_lo, offsets, counts, pos_rid, pos_ps,
         n_keys, mid_occ, A, k,
@@ -72,10 +79,12 @@ def _front_end(
     else:
         f, p = chain_scores_block(anchors, chain_params, chain_window)
     # pack for ONE device->host transfer (downloads are the scarce
-    # resource on tunnel-attached chips): meta = rev<<30|valid<<29|rid
+    # resource on tunnel-attached chips):
+    # meta = rev<<30 | valid<<29 | span<<21 | rid   (rid < 2^21)
     meta = (
         (anchors["rev"].astype(jnp.int32) << 30)
         | (anchors["valid"].astype(jnp.int32) << 29)
+        | (jnp.clip(anchors["span"].astype(jnp.int32), 0, 255) << 21)
         | anchors["rid"].astype(jnp.int32)
     )
     stacked = jnp.stack(
@@ -181,10 +190,29 @@ class AlignmentEngine:
             # compiles, H=128 window); elsewhere: XLA block formulation
             import jax
 
+            is_hpc = bool(self.index.flag & 0x1)
+            if is_hpc:
+                from ..ops.sketch import compress_hpc, hpc_spans
+
+                cc, cl, run_end, run_len = compress_hpc(batch, lens)
+                spans_np = hpc_spans(run_len, k)
+                fe_codes = jnp.asarray(cc)
+                fe_sklens = jnp.asarray(cl)
+                fe_force = jnp.asarray(spans_np >= 256)
+                fe_posmap = jnp.asarray(run_end)
+                fe_spans = jnp.asarray(spans_np)
+            else:
+                fe_codes = jnp.asarray(batch)
+                fe_sklens = jnp.asarray(lens)
+                fe_force = fe_posmap = fe_spans = None
             with self.metrics.timer("front_end"):
                 stacked, n_dev = _front_end(
-                    jnp.asarray(batch),
+                    fe_codes,
                     jnp.asarray(lens),
+                    fe_sklens,
+                    fe_force,
+                    fe_posmap,
+                    fe_spans,
                     self.dev.key_hi,
                     self.dev.key_lo,
                     self.dev.offsets,
@@ -210,7 +238,8 @@ class AlignmentEngine:
                 anchors_np = {
                     "rev": (meta >> 30) & 1,
                     "valid": ((meta >> 29) & 1).astype(bool),
-                    "rid": meta & ((1 << 29) - 1),
+                    "span": (meta >> 21) & 255,
+                    "rid": meta & ((1 << 21) - 1),
                     "rpos": arr[1],
                     "qpos": arr[2],
                     "n": n_np,

@@ -69,13 +69,15 @@ def _pair_scores(ai, aj, p: ChainParams):
     dd = jnp.abs(dr - dq)
     ok = ok & (dd <= p.bw)
     dg = jnp.minimum(dr, dq)
-    sc = jnp.minimum(dg, p.q_span)
+    span_j = aj.get("span")
+    q_span = p.q_span if span_j is None else span_j
+    sc = jnp.minimum(dg, q_span)
     lin_pen = p.chn_pen_gap * dd.astype(jnp.float32) + p.chn_pen_skip * dg.astype(
         jnp.float32
     )
     log_pen = jnp.where(dd >= 1, mg_log2((dd + 1).astype(jnp.float32)), 0.0)
     pen = (lin_pen + 0.5 * log_pen).astype(_I32)  # C truncation semantics
-    sc = jnp.where((dd != 0) | (dg > p.q_span), sc - pen, sc)
+    sc = jnp.where((dd != 0) | (dg > q_span), sc - pen, sc)
     return jnp.where(ok, sc, NEG_INF)
 
 
@@ -100,25 +102,24 @@ def chain_scores(anchors: dict, params: ChainParams, window: int = 64):
             [jnp.full((B, H), fill, x.dtype), x.astype(x.dtype)], axis=1
         )
 
+    span_arr = anchors.get("span")
+    if span_arr is None:
+        span_arr = jnp.full_like(rpos, params.q_span)
     prev = {
         "rev": pad(rev, 0),
         "rid": pad(rid, 0),
         "rpos": pad(rpos, 0),
         "qpos": pad(qpos, 0),
         "valid": pad(valid, False),
+        "span": pad(span_arr, 0),
     }
-
-    q_span = jnp.int32(params.q_span)
 
     def step(f_pad, i):
         # window of H predecessors: padded slots [i, i+H) = original [i-H, i)
         win = {k: jax.lax.dynamic_slice_in_dim(v, i, H, axis=1) for k, v in prev.items()}
         ai = {
-            "rev": jax.lax.dynamic_slice_in_dim(prev["rev"], i + H, 1, axis=1),
-            "rid": jax.lax.dynamic_slice_in_dim(prev["rid"], i + H, 1, axis=1),
-            "rpos": jax.lax.dynamic_slice_in_dim(prev["rpos"], i + H, 1, axis=1),
-            "qpos": jax.lax.dynamic_slice_in_dim(prev["qpos"], i + H, 1, axis=1),
-            "valid": jax.lax.dynamic_slice_in_dim(prev["valid"], i + H, 1, axis=1),
+            k2: jax.lax.dynamic_slice_in_dim(prev[k2], i + H, 1, axis=1)
+            for k2 in ("rev", "rid", "rpos", "qpos", "valid", "span")
         }
         sc = _pair_scores(ai, win, params)  # [B, H]
         f_win = jax.lax.dynamic_slice_in_dim(f_pad, i, H, axis=1)
@@ -126,6 +127,7 @@ def chain_scores(anchors: dict, params: ChainParams, window: int = 64):
         best = jnp.max(tot, axis=1)
         # largest-j tie-break: scan reversed, argmax picks first max
         arg = (H - 1) - jnp.argmax(tot[:, ::-1], axis=1)
+        q_span = ai["span"][:, 0]  # init = current anchor's span
         take = best > q_span  # strict: minimap2's `sc > max_f` vs init
         f_i = jnp.where(take, best, q_span)
         f_i = jnp.where(ai["valid"][:, 0], f_i, NEG_INF)
@@ -161,13 +163,15 @@ def _pair_scores_grid(cur, win, p: ChainParams):
     dd = jnp.abs(dr - dq)
     ok = ok & (dd <= p.bw)
     dg = jnp.minimum(dr, dq)
-    sc = jnp.minimum(dg, p.q_span)
+    span_j = win.get("span")
+    q_span = p.q_span if span_j is None else span_j
+    sc = jnp.minimum(dg, q_span)
     lin_pen = p.chn_pen_gap * dd.astype(jnp.float32) + p.chn_pen_skip * dg.astype(
         jnp.float32
     )
     log_pen = jnp.where(dd >= 1, mg_log2((dd + 1).astype(jnp.float32)), 0.0)
     pen = (lin_pen + 0.5 * log_pen).astype(_I32)
-    sc = jnp.where((dd != 0) | (dg > p.q_span), sc - pen, sc)
+    sc = jnp.where((dd != 0) | (dg > q_span), sc - pen, sc)
     return jnp.where(ok, sc, NEG_INF)
 
 
@@ -204,8 +208,10 @@ def chain_scores_block(anchors: dict, params: ChainParams, block: int = 32):
     C = block
     n_blocks = (A + C - 1) // C
     A_pad = n_blocks * C
-    q_span = jnp.int32(params.q_span)
     NB = n_blocks
+    span_arr = anchors.get("span")
+    if span_arr is None:
+        span_arr = jnp.full_like(rpos, params.q_span)
 
     def pad(x, fill):
         return jnp.concatenate(
@@ -232,6 +238,7 @@ def chain_scores_block(anchors: dict, params: ChainParams, block: int = 32):
         ("rid", rid, 0),
         ("rpos", rpos, 0),
         ("qpos", qpos, 0),
+        ("span", span_arr, 0),
     ):
         cur_f[name], win_f[name] = blocks_of(x, jnp.array(fill, x.dtype))
     cur_v, win_v = blocks_of(valid, jnp.array(False))
@@ -243,12 +250,12 @@ def chain_scores_block(anchors: dict, params: ChainParams, block: int = 32):
         {k: v[:, :, :, None] for k, v in win_f.items()},
         params,
     )
-    init = jnp.where(cur_f["valid"], q_span, NEG_INF)  # [NB, B, C]
+    init = jnp.where(cur_f["valid"], cur_f["span"], NEG_INF)  # [NB, B, C]
     # absolute anchor index of window row r in block b is row_start + r
     row_start = jnp.arange(NB, dtype=_I32) * C - C  # [NB]
 
     def block_step(f_prev, xs):
-        E_b, init_b, row_start_b = xs  # [B,2C,C], [B,C], scalar
+        E_b, init_b, row_start_b, cur_span_b = xs  # [B,2C,C], [B,C], scalar, [B,C]
         ok = E_b > NEG_INF
         prev_tot = jnp.max(
             jnp.where(ok[:, :C, :], f_prev[:, :, None] + E_b[:, :C, :], NEG_INF),
@@ -263,7 +270,7 @@ def chain_scores_block(anchors: dict, params: ChainParams, block: int = 32):
         # predecessor recovery within the same window
         f_win = jnp.concatenate([f_prev, F], axis=1)  # [B, 2C]
         tot = jnp.where(ok, f_win[:, :, None] + E_b, NEG_INF)
-        hit = (tot == F[:, None, :]) & (F[:, None, :] > q_span)
+        hit = (tot == F[:, None, :]) & (F[:, None, :] > cur_span_b[:, None, :])
         # largest j wins ties: scan rows reversed, argmax takes first
         r_rev = jnp.argmax(hit[:, ::-1, :], axis=1).astype(_I32)
         any_hit = jnp.any(hit, axis=1)
@@ -273,7 +280,7 @@ def chain_scores_block(anchors: dict, params: ChainParams, block: int = 32):
 
     f0 = jnp.full((B, C), NEG_INF, _I32)
     _, (f_blocks, p_blocks) = jax.lax.scan(
-        block_step, f0, (E, init, row_start)
+        block_step, f0, (E, init, row_start, cur_f["span"])
     )
     f = jnp.moveaxis(f_blocks, 0, 1).reshape(B, A_pad)[:, :A]
     p = jnp.moveaxis(p_blocks, 0, 1).reshape(B, A_pad)[:, :A]

@@ -53,7 +53,7 @@ def _make_kernel(B: int, params: ChainParams):
     p = params
     q_span = p.q_span
 
-    def kernel(rev_ref, rid_ref, rpos_ref, qpos_ref, valid_ref,
+    def kernel(rev_ref, rid_ref, rpos_ref, qpos_ref, valid_ref, span_ref,
                f_out, p_out, f_scr):
         b = pl.program_id(0)
 
@@ -68,6 +68,7 @@ def _make_kernel(B: int, params: ChainParams):
             "rpos": rpos_ref[:, pl.ds(start, 2 * C)],
             "qpos": qpos_ref[:, pl.ds(start, 2 * C)],
             "valid": valid_ref[:, pl.ds(start, 2 * C)],
+            "span": span_ref[:, pl.ds(start, 2 * C)],
         }
         f_prev = f_scr[:, :]  # [B, C] final scores of previous block
         lane2 = jax.lax.broadcasted_iota(_I32, (B, 2 * C), 1)
@@ -87,6 +88,7 @@ def _make_kernel(B: int, params: ChainParams):
             c_rev = col(win["rev"])
             c_rid = col(win["rid"])
             c_val = col(win["valid"])
+            c_span = col(win["span"])
 
             dq = cq - win["qpos"]
             dr = cr - win["rpos"]
@@ -106,7 +108,8 @@ def _make_kernel(B: int, params: ChainParams):
             # predecessor lanes: [i, C+i) == anchors [abs_i - C, abs_i)
             ok = ok & (lane2 >= i) & (lane2 < C + i)
             dg = jnp.minimum(dr, dq)
-            sc = jnp.minimum(dg, q_span)
+            w_span = win["span"]  # predecessor's span caps the gain
+            sc = jnp.minimum(dg, w_span)
             lin_pen = p.chn_pen_gap * dd.astype(jnp.float32) + (
                 p.chn_pen_skip * dg.astype(jnp.float32)
             )
@@ -114,7 +117,7 @@ def _make_kernel(B: int, params: ChainParams):
                 dd >= 1, _mg_log2_f32((dd + 1).astype(jnp.float32)), 0.0
             )
             pen = (lin_pen + 0.5 * log_pen).astype(_I32)
-            sc = jnp.where((dd != 0) | (dg > q_span), sc - pen, sc)
+            sc = jnp.where((dd != 0) | (dg > w_span), sc - pen, sc)
             sc = jnp.where(ok, sc, NEG_INF)
 
             f_win = jnp.concatenate([f_prev, f_cur], axis=1)  # [B, 2C]
@@ -123,8 +126,8 @@ def _make_kernel(B: int, params: ChainParams):
             arg = jnp.max(
                 jnp.where(tot == best, lane2, -1), axis=1, keepdims=True
             )  # largest-j tie break (lane order == anchor order)
-            take = best > q_span
-            f_i = jnp.where(take, best, q_span)
+            take = best > c_span
+            f_i = jnp.where(take, best, c_span)
             f_i = jnp.where(c_val > 0, f_i, NEG_INF)
             p_i = jnp.where(take & (c_val > 0), anchor_base + arg, -1)
             upd = lane1 == i
@@ -151,6 +154,10 @@ def chain_scores_pallas(anchors: dict, params: ChainParams, window: int = C):
     rpos = anchors["rpos"].astype(_I32)
     qpos = anchors["qpos"].astype(_I32)
     valid = anchors["valid"].astype(_I32)
+    span = anchors.get("span")
+    if span is None:
+        span = jnp.full_like(rpos, params.q_span)
+    span = span.astype(_I32)
     B, A = rpos.shape
     NB = (A + C - 1) // C
     A_pad = NB * C
@@ -165,12 +172,15 @@ def chain_scores_pallas(anchors: dict, params: ChainParams, window: int = C):
             axis=1,
         )
 
-    args = (pad(rev, 0), pad(rid, 0), pad(rpos, 0), pad(qpos, 0), pad(valid, 0))
+    args = (
+        pad(rev, 0), pad(rid, 0), pad(rpos, 0), pad(qpos, 0),
+        pad(valid, 0), pad(span, 0),
+    )
     kernel = _make_kernel(B, params)
     f, p = pl.pallas_call(
         kernel,
         grid=(NB,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),

@@ -129,17 +129,22 @@ def collect_anchors(
 
     q_pos = mins["pos"][rows, src]
     q_strand = mins["strand"][rows, src]
+    q_span = (
+        mins["span"][rows, src].astype(_I32)
+        if "span" in mins
+        else jnp.full_like(q_pos, span)
+    )
     rev = (q_strand ^ rstrand).astype(_I32)
     qpos = jnp.where(
         rev == 0,
         q_pos,
-        qlens[:, None] - (q_pos + 1 - span) - 1,
+        qlens[:, None] - (q_pos + 1 - q_span) - 1,
     )
 
     # sort per read by (valid-last, rev, rid, rpos, qpos)
     sort_first = jnp.where(a_valid, rev, 2)
     srt = jax.lax.sort(
-        (sort_first, rid, rpos, qpos, a_valid.astype(_I32)),
+        (sort_first, rid, rpos, qpos, a_valid.astype(_I32), q_span),
         dimension=1,
         num_keys=4,
     )
@@ -149,5 +154,6 @@ def collect_anchors(
         "rpos": srt[2],
         "qpos": srt[3],
         "valid": srt[4].astype(bool),
+        "span": srt[5],
         "n": n_anchors,
     }

@@ -98,26 +98,30 @@ def gen_regions(
     qlen: int,
     span: int,
 ) -> List[Region]:
-    """mm_gen_regs / mm_reg_set_coor semantics."""
+    """mm_gen_regs / mm_reg_set_coor semantics.  `span` is the default
+    k-mer span; per-anchor spans (HPC) override it when present."""
     regions: List[Region] = []
     rev_a = anchors["rev"][read_idx]
     rid_a = anchors["rid"][read_idx]
     rpos_a = anchors["rpos"][read_idx]
     qpos_a = anchors["qpos"][read_idx]
+    span_a = anchors.get("span")
+    span_a = None if span_a is None else span_a[read_idx]
     for sc, path in chains:
         first, last = path[0], path[-1]
+        sp_first = span if span_a is None else int(span_a[first])
         rev = int(rev_a[first])
         rid = int(rid_a[first])
-        rs = max(int(rpos_a[first]) + 1 - span, 0)
+        rs = max(int(rpos_a[first]) + 1 - sp_first, 0)
         re = int(rpos_a[last]) + 1
         q_first = int(qpos_a[first])
         q_last = int(qpos_a[last])
         if rev == 0:
-            qs = q_first + 1 - span
+            qs = q_first + 1 - sp_first
             qe = q_last + 1
         else:
             qs = qlen - (q_last + 1)
-            qe = qlen - (q_first + 1 - span)
+            qe = qlen - (q_first + 1 - sp_first)
         regions.append(
             Region(
                 rev=rev,

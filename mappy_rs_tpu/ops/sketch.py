@@ -54,6 +54,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils import u64
 
@@ -77,8 +78,57 @@ def _shifted_fwd(x: jnp.ndarray, d: int, fill) -> jnp.ndarray:
     return jnp.concatenate([x[..., d:], pad], axis=-1)
 
 
+def compress_hpc(codes: np.ndarray, lengths: np.ndarray):
+    """Homopolymer-compress a padded batch (host, vectorized numpy).
+
+    Returns (ccodes [B, L] padded with 4, clens [B], run_end [B, L]
+    uncompressed END position per compressed symbol, spans [B, L]
+    k-run spans are NOT computed here — use ``hpc_spans``).
+    Runs of the SAME valid base collapse to one symbol positioned at
+    the run's last base; ambiguous bases stay one symbol each (they
+    occupy window slots in the scalar algorithm).
+    """
+    B, L = codes.shape
+    prev = np.full((B, L), 5, codes.dtype)
+    prev[:, 1:] = codes[:, :-1]
+    pos = np.arange(L)
+    in_len = pos[None, :] < lengths[:, None]
+    keep = ((codes != prev) | (codes >= 4) | (prev >= 4)) & in_len
+    ccodes = np.full((B, L), 4, np.uint8)
+    run_end = np.zeros((B, L), np.int32)
+    run_len = np.zeros((B, L), np.int32)
+    clens = keep.sum(axis=1).astype(np.int32)
+    for b in range(B):
+        ks = np.nonzero(keep[b])[0]
+        n = len(ks)
+        if n == 0:
+            continue
+        ccodes[b, :n] = codes[b, ks]
+        ends = np.empty(n, np.int64)
+        ends[:-1] = ks[1:] - 1
+        ends[-1] = int(lengths[b]) - 1
+        run_end[b, :n] = ends
+        run_len[b, :n] = ends - ks + 1
+    return ccodes, clens, run_end, run_len
+
+
+def hpc_spans(run_len: np.ndarray, k: int) -> np.ndarray:
+    """span[j] = sum of run lengths of the k runs ending at j (garbage
+    across N-breaks; the kernel's validity mask covers those)."""
+    cs = np.cumsum(run_len.astype(np.int64), axis=1)
+    shifted = np.zeros_like(cs)
+    shifted[:, k:] = cs[:, :-k]
+    return (cs - shifted).astype(np.int32)
+
+
 @partial(jax.jit, static_argnames=("k", "w"))
-def sketch(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int):
+def sketch(
+    codes: jnp.ndarray,
+    lengths: jnp.ndarray,
+    k: int,
+    w: int,
+    force_inf: jnp.ndarray | None = None,
+):
     """Sketch a padded batch of reads.
 
     Args:
@@ -140,7 +190,10 @@ def sketch(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int):
 
     INF_V = _U32(0xFFFFFFFF)
     INF = (jnp.full((B, L), INF_V), jnp.full((B, L), INF_V))
-    x = u64.select(kmer_ok, h, INF)
+    emit_ok = kmer_ok
+    if force_inf is not None:
+        emit_ok = emit_ok & (~force_inf)
+    x = u64.select(emit_ok, h, INF)
     pos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
 
     # run(t): consecutive valid BASES ending at t
@@ -192,7 +245,7 @@ def sketch(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int):
     M_end = jnp.max(jnp.where(at_end, M, -1), axis=-1, keepdims=True)
     emitted = emitted | (pos == M_end)
 
-    emitted = emitted & kmer_ok & (pos < lengths[:, None])
+    emitted = emitted & emit_ok & (pos < lengths[:, None])
     return {
         "minimizer": emitted,
         "key_hi": x[0],
@@ -203,13 +256,18 @@ def sketch(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int):
 
 @partial(jax.jit, static_argnames=("k", "w", "max_minimizers"))
 def sketch_compact(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int,
-                   max_minimizers: int):
+                   max_minimizers: int,
+                   force_inf: jnp.ndarray | None = None,
+                   pos_map: jnp.ndarray | None = None,
+                   spans: jnp.ndarray | None = None):
     """Sketch + on-device compaction into fixed-width [B, M] slot arrays.
 
-    Returns (n [B], key_hi/key_lo/pos/strand [B, M]); slots >= n are
-    invalid (key = 0xFFFF..., pos = -1).
+    Returns (n [B], key_hi/key_lo/pos/strand/span [B, M]); slots >= n
+    are invalid (key = 0xFFFF..., pos = -1).  For HPC sketching the
+    caller passes compressed codes plus `pos_map` (uncompressed END
+    position per symbol), `spans` and `force_inf` (span >= 256).
     """
-    s = sketch(codes, lengths, k, w)
+    s = sketch(codes, lengths, k, w, force_inf)
     B, L = codes.shape
     M = max_minimizers
     emitted = s["minimizer"]
@@ -223,11 +281,21 @@ def sketch_compact(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int,
         out = out.at[jnp.arange(B)[:, None], slot].set(src.astype(dtype), mode="drop")
         return out[:, :M]
 
-    pos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
+    if pos_map is None:
+        pos = jnp.broadcast_to(
+            jnp.arange(L, dtype=jnp.int32)[None, :], (B, L)
+        )
+    else:
+        pos = pos_map.astype(jnp.int32)
+    if spans is None:
+        span_src = jnp.full((B, L), k, jnp.int32)
+    else:
+        span_src = spans.astype(jnp.int32)
     return {
         "n": n,
         "key_hi": scatter(s["key_hi"], 0xFFFFFFFF, _U32),
         "key_lo": scatter(s["key_lo"], 0xFFFFFFFF, _U32),
         "pos": scatter(pos, -1, jnp.int32),
         "strand": scatter(s["strand"], 0, jnp.uint8),
+        "span": scatter(span_src, 0, jnp.int32),
     }
