@@ -53,12 +53,16 @@ import jax.numpy as jnp  # noqa: E402
 
 @partial(
     jax.jit,
-    static_argnames=("k", "w", "M", "A", "chain_params", "chain_window", "use_pallas"),
+    static_argnames=(
+        "k", "w", "M", "A", "chain_params", "chain_window", "use_pallas",
+        "q_occ_frac",
+    ),
 )
 def _front_end(
     codes, lens, sk_lens, hpc_force, hpc_pos_map, hpc_spans,
     key_hi, key_lo, offsets, counts, pos_rid, pos_ps,
     n_keys, mid_occ, k, w, M, A, chain_params, chain_window, use_pallas,
+    q_occ_frac=0.0,
 ):
     """Fused sketch -> seed lookup -> chain: ONE device dispatch per
     batch (the per-call tunnel latency on the dev setup is ~50-100ms,
@@ -72,7 +76,7 @@ def _front_end(
     )
     anchors = collect_anchors(
         mins, lens, key_hi, key_lo, offsets, counts, pos_rid, pos_ps,
-        n_keys, mid_occ, A, k,
+        n_keys, mid_occ, A, k, q_occ_frac,
     )
     if use_pallas:
         f, p = chain_scores_pallas(anchors, chain_params)
@@ -228,6 +232,7 @@ class AlignmentEngine:
                     self._chain_params,
                     self.cfg.chain_window,
                     jax.default_backend() == "tpu",
+                    float(self.opt.q_occ_frac),
                 )
                 # trim the transfer to the anchors actually present
                 n_np = np.asarray(n_dev)

@@ -64,7 +64,7 @@ def _searchsorted_rows(prefix, targets):
     return lo
 
 
-@partial(jax.jit, static_argnames=("max_anchors", "span"))
+@partial(jax.jit, static_argnames=("max_anchors", "span", "q_occ_frac"))
 def collect_anchors(
     mins: dict,
     qlens: jnp.ndarray,
@@ -78,6 +78,7 @@ def collect_anchors(
     mid_occ: jnp.ndarray,
     max_anchors: int,
     span: int,
+    q_occ_frac: float = 0.0,
 ):
     """Expand query minimizers into sorted anchors.
 
@@ -106,6 +107,22 @@ def collect_anchors(
     cnt = jnp.where(found, counts[idx_c], 0)
     # seed occurrence filter (mm_mapopt_update's mid_occ, SURVEY §2b N4)
     cnt = jnp.where(cnt > mid_occ, 0, cnt)
+    if q_occ_frac > 0.0:
+        # query-side repeat filter (mm_seed_mz_flt analogue): drop
+        # minimizers over-represented WITHIN the read itself
+        slot_valid = mins["pos"] >= 0
+        eq = (
+            (q_hi[:, :, None] == q_hi[:, None, :])
+            & (q_lo[:, :, None] == q_lo[:, None, :])
+            & slot_valid[:, :, None]
+            & slot_valid[:, None, :]
+        )
+        q_cnt = jnp.sum(eq, axis=2)
+        n_mins = jnp.sum(slot_valid, axis=1, keepdims=True)
+        q_thresh = jnp.maximum(
+            (n_mins.astype(jnp.float32) * q_occ_frac).astype(_I32), 10
+        )
+        cnt = jnp.where(q_cnt > q_thresh, 0, cnt)
     off = offsets[idx_c]
 
     # slot allocation: prefix[b, i] = anchors before minimizer slot i
