@@ -73,8 +73,14 @@ def _enable_compile_cache() -> None:
     import jax
 
     try:
-        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jaxcache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        if jax.default_backend() == "tpu":  # CPU AOT cache entries can
+            # be machine-feature-mismatched (SIGILL risk); TPU only
+            jax.config.update(
+                "jax_compilation_cache_dir", "/root/.cache/jaxcache"
+            )
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0
+            )
     except Exception:
         pass
 
