@@ -389,12 +389,11 @@ class Aligner:
                 "Multi threading not enabled on this instance. "
                 "Please call `.enable_threading()`"
             )
-        if isinstance(seqs, dict) or isinstance(seqs, (str, bytes)):
-            raise TypeError(
-                "Unsupported batch type, pass a list, iter, generator or tuple"
-            )
-        if not (
-            isinstance(seqs, (list, tuple))
+        # the reference accepts list/tuple/iterator/sequence; a dict is
+        # none of those (its PySequence extraction fails), while str is
+        # a sequence whose CHAR elements then fail the dict check
+        if isinstance(seqs, dict) or not (
+            isinstance(seqs, (list, tuple, str, bytes))
             or hasattr(seqs, "__next__")
             or (hasattr(seqs, "__getitem__") and hasattr(seqs, "__len__"))
         ):

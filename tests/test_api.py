@@ -271,3 +271,10 @@ def test_metrics_counters(al):
     assert m["reads"] >= 1
     assert "time_map_batch_s" in m
     assert m.get("dp_cells", 0) >= 0
+
+
+def test_map_batch_string_input_fails_dict_check(al):
+    al.enable_threading(2)
+    with pytest.raises(TypeError) as excinfo:
+        al.map_batch("ACGTACGT")
+    assert "Element in iterable is not a dictionary" in str(excinfo.value)
