@@ -98,10 +98,12 @@ def main() -> None:
     payload = [{"i": i, "seq": r} for i, r in enumerate(reads)]
 
     # warm-up: compile all shapes (same device batch size as the run;
-    # the backend's first compile per process is slow — pay it here)
+    # the backend's first compile per process is slow — pay it here).
+    # Both batch shapes (full B and the tiny-B straggler path) compile.
     n_hit = 0
     for _ in al.map_batch(payload[:256]):
         pass
+    al.map(reads[0])
 
     n_correct = 0
     t0 = time.time()
