@@ -363,6 +363,131 @@ class Aligner:
             uniq[s] = self._to_mappings(r)
         return [uniq[s] for s in seqs]
 
+    # --- multi-chip decision mode (no reference analogue) --------------
+    def enable_sharding(self, n_data: int = 0, n_index: int = 1) -> None:
+        """Shard this aligner across the local device mesh: reads run
+        data-parallel over `n_data` devices while the minimizer key
+        table is sharded by key range over `n_index` devices, with
+        per-shard anchors merged by an all_gather before chaining
+        (BASELINE.json config 4's single-host form).
+
+        Enables :meth:`map_batch_positions`, the device-only
+        position/score fast path (readfish-style decisions without
+        CIGARs)."""
+        import jax
+
+        from .parallel.mesh import make_mesh, shard_index_by_key_range
+
+        if n_data <= 0:
+            n_data = max(len(jax.devices()) // n_index, 1)
+        self._mesh = make_mesh(n_data, n_index)
+        self._shards_np = shard_index_by_key_range(self._index, n_index)
+        self._sharded_steps: Dict[int, Any] = {}
+        self._n_data = n_data
+        self._n_index = n_index
+
+    def map_batch_positions(self, seqs: Sequence[str]) -> List[Optional[dict]]:
+        """Device-only mapping decisions for a batch of reads.
+
+        Returns, per read, None (no confident chain) or a dict with
+        ctg / ctg_len / strand (+1/-1) / r_en (approximate reference
+        END of the best chain) / chain_score / ext_score.  Requires
+        :meth:`enable_sharding` first."""
+        import jax
+        import jax.numpy as jnp
+
+        from .config import INT32_MAX
+        from .ops.chain import ChainParams
+        from .ops.extend import ExtendParams
+        from .parallel.mesh import build_sharded_map_step
+        from .utils.seqcodes import encode
+
+        if not hasattr(self, "_mesh"):
+            raise RuntimeError(
+                "Sharding not enabled on this instance. "
+                "Please call `.enable_sharding()`"
+            )
+        codes_list = [encode(s) for s in seqs]
+        max_len = max((len(c) for c in codes_list), default=1)
+        L = 512
+        while L < max_len:
+            L <<= 1
+        B = len(seqs)
+        B_pad = max(((B + self._n_data - 1) // self._n_data) * self._n_data, self._n_data)
+        batch = np.full((B_pad, L), 4, np.uint8)
+        lens = np.zeros(B_pad, np.int32)
+        for i, c in enumerate(codes_list):
+            batch[i, : len(c)] = c
+            lens[i] = len(c)
+
+        step = self._sharded_steps.get(L)
+        if step is None:
+            opt = self._map_opt
+            cp = ChainParams(
+                max_dist_x=opt.max_gap_ref if opt.max_gap_ref >= 0 else opt.max_gap,
+                max_dist_y=opt.max_gap,
+                bw=opt.bw,
+                q_span=self._index.k,
+                chn_pen_gap=opt.chain_gap_scale * 0.01 * self._index.k,
+                chn_pen_skip=opt.chain_skip_scale * 0.01 * self._index.k,
+            )
+            ep = ExtendParams(
+                a=opt.a, b=opt.b, q=opt.q, e=opt.e, q2=opt.q2, e2=opt.e2,
+                sc_ambi=opt.sc_ambi,
+            )
+            step = build_sharded_map_step(
+                self._mesh, self._index.k, self._index.w,
+                max_minimizers=max(64, L // 5),
+                max_anchors=max(128, L // 4),
+                chain_params=cp, ext_params=ep, mid_occ=opt.mid_occ,
+                chain_window=32, ext_window=128,
+            )
+            self._sharded_steps[L] = step
+
+        P = jax.sharding.PartitionSpec
+        mesh = self._mesh
+        data_sh = jax.sharding.NamedSharding(mesh, P("data", None))
+        lens_sh = jax.sharding.NamedSharding(mesh, P("data"))
+        if not hasattr(self, "_shards_dev"):
+            shards = {}
+            for name, arr in self._shards_np.items():
+                if name in ("ref_codes", "seq_offsets"):
+                    sh = jax.sharding.NamedSharding(mesh, P())
+                elif arr.ndim == 1:
+                    sh = jax.sharding.NamedSharding(mesh, P("index"))
+                else:
+                    sh = jax.sharding.NamedSharding(mesh, P("index", None))
+                shards[name] = jax.device_put(jnp.asarray(arr), sh)
+            self._shards_dev = shards
+        out = step(
+            jax.device_put(jnp.asarray(batch), data_sh),
+            jax.device_put(jnp.asarray(lens), lens_sh),
+            self._shards_dev,
+        )
+        cs = np.asarray(out["chain_score"])
+        rid = np.asarray(out["rid"])
+        rev = np.asarray(out["rev"])
+        es = np.asarray(out["ext_score"])
+        end_t = np.asarray(out["ext_end_t"])
+        offs = self._index.seq_offsets
+        res: List[Optional[dict]] = []
+        for i in range(B):
+            if cs[i] < self._map_opt.min_chain_score:
+                res.append(None)
+                continue
+            r = int(rid[i])
+            res.append(
+                {
+                    "ctg": self._index.seq_names[r],
+                    "ctg_len": int(self._index.seq_lens[r]),
+                    "strand": 1 if rev[i] == 0 else -1,
+                    "r_en": int(min(max(end_t[i] - offs[r], 0), self._index.seq_lens[r])),
+                    "chain_score": int(cs[i]),
+                    "ext_score": int(es[i]),
+                }
+            )
+        return res
+
     def setup_signal(self) -> None:
         """Install a SIGINT handler that stops the worker pool.
 

@@ -204,13 +204,13 @@ def _apply_preset(preset: str, io: IndexOptions, mo: MapOptions) -> None:
             mo.a, mo.b, mo.q, mo.e, mo.q2, mo.e2 = 1, 4, 6, 2, 26, 1
             mo.zdrop, mo.zdrop_inv = 200, 200
     elif preset in ("splice", "splice:hq"):
-        io.flag = 0
-        io.k, io.w = 15, 5
-        mo.flag |= MM_F_SPLICE | MM_F_SPLICE_FOR | MM_F_SPLICE_REV
-        mo.max_gap = 2000
-        mo.max_gap_ref = 200000
-        mo.a, mo.b, mo.q, mo.e, mo.q2, mo.e2 = 1, 2, 2, 1, 32, 0
-        mo.zdrop, mo.zdrop_inv = 200, 100
+        # spliced (RNA) chaining/alignment needs the is_splice scoring
+        # branch and intron-aware extension, which this build does not
+        # implement yet — refuse rather than silently mis-map RNA reads
+        raise NotImplementedError(
+            "splice presets are not supported yet (spliced chaining and "
+            "intron-aware extension are unimplemented)"
+        )
     else:
         raise ValueError(f"Unknown preset: {preset!r}")
 

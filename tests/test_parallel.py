@@ -30,3 +30,29 @@ def test_index_key_range_sharding_roundtrip():
         int(sh["counts"][s][: int(sh["n_keys"][s])].sum()) for s in range(4)
     )
     assert total == len(idx.positions)
+
+
+def test_map_batch_positions_sharded():
+    import mappy_rs_tpu
+    from mappy_rs_tpu.utils.seqcodes import read_fastx
+
+    al = mappy_rs_tpu.Aligner("/root/reference/resources/test/test.mmi")
+    al.enable_sharding(n_data=4, n_index=2)
+    seqs = dict(read_fastx("/root/reference/resources/test/test.fa"))
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    reads = list(seqs.values()) + [
+        "".join(comp[c] for c in reversed(seqs["Bacillus_subtilis"]))
+    ]
+    res = al.map_batch_positions(reads)
+    assert len(res) == 5
+    for name, r in zip(seqs, res[:4]):
+        assert r is not None
+        assert r["ctg"] == name
+        assert r["strand"] == 1
+        assert abs(r["r_en"] - 400) < 20
+        assert r["chain_score"] > 300 and r["ext_score"] > 700
+    assert res[4] is not None and res[4]["strand"] == -1
+    assert res[4]["ctg"] == "Bacillus_subtilis"
+    # junk read -> None
+    res2 = al.map_batch_positions(["ACGT" * 30])
+    assert res2 == [None]
