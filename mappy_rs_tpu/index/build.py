@@ -131,7 +131,7 @@ def build_index(
     all_codes: List[np.ndarray] = []
     triples: List[np.ndarray] = []  # (key, y=rid<<32|pos<<1|strand)
     for rid, (name, seq) in enumerate(seqs):
-        codes = encode(seq)
+        codes = seq if isinstance(seq, np.ndarray) else encode(seq)
         names.append(name)
         lens.append(len(codes))
         all_codes.append(codes)
@@ -184,4 +184,6 @@ def load_or_build(path: str, opts: IndexOptions | None = None) -> MinimizerIndex
     if magic == b"MMI\x02":
         idx = MinimizerIndex.from_raw(load_mmi(path))
         return idx
-    return build_index(list(read_fastx(path)), opts)
+    from ..utils.seqcodes import read_fasta_codes
+
+    return build_index(read_fasta_codes(path), opts)

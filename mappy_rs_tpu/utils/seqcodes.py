@@ -50,6 +50,35 @@ def _open_maybe_gz(path: str):
     return open(path, "rt")
 
 
+def read_fasta_codes(path: str):
+    """Fast FASTA reader: returns [(name, codes ndarray)] with the whole
+    file processed through vectorized numpy (≈memory-bandwidth speed —
+    matters for GRCh38-scale index builds where a line-by-line python
+    parse takes a minute).  Falls back to read_fastx for FASTQ/gzip.
+    """
+    with open(path, "rb") as fh:
+        head = fh.read(1)
+    if head != b">":
+        return [(n, encode(s)) for n, s in read_fastx(path)]
+    raw = np.fromfile(path, dtype=np.uint8)
+    nl = np.nonzero(raw == 10)[0]
+    line_starts = np.concatenate([[0], nl + 1])
+    line_starts = line_starts[line_starts < len(raw)]
+    hdr_starts = line_starts[raw[line_starts] == ord(">")]
+    bounds = np.concatenate([hdr_starts, [len(raw)]])
+    out = []
+    for i in range(len(hdr_starts)):
+        s, e = int(bounds[i]), int(bounds[i + 1])
+        # header line = up to first newline
+        nl_pos = s + int(np.argmax(raw[s : min(s + 1 << 16, e)] == 10))
+        header = raw[s + 1 : nl_pos].tobytes().decode("ascii", "replace")
+        name = header.split()[0] if header.split() else ""
+        seg = raw[nl_pos + 1 : e]
+        keep = (seg != 10) & (seg != 13)
+        out.append((name, SEQ_NT4[seg[keep]]))
+    return out
+
+
 def read_fastx(path: str) -> Iterator[Tuple[str, str]]:
     """Yield (name, sequence) from a FASTA or FASTQ file (optionally gzipped).
 

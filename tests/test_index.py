@@ -97,3 +97,23 @@ def test_load_or_build_dispatch():
     ia = load_or_build(MMI)
     ib = load_or_build(FA)
     assert np.array_equal(ia.keys, ib.keys)
+
+
+def test_fast_fasta_reader_matches_line_reader(tmp_path):
+    from mappy_rs_tpu.utils.seqcodes import read_fasta_codes
+
+    rng = np.random.default_rng(3)
+    # wrapped lines, CRLF mix, multi-contig, trailing newline quirks
+    s1 = "".join(rng.choice(list("ACGTN"), size=997))
+    s2 = "".join(rng.choice(list("ACGT"), size=203))
+    text = ">c1 descr here\r\n"
+    text += "\r\n".join(s1[i : i + 60] for i in range(0, len(s1), 60))
+    text += "\n>c2\n" + "\n".join(s2[i : i + 80] for i in range(0, len(s2), 80))
+    fa = tmp_path / "x.fa"
+    fa.write_text(text)
+    fast = read_fasta_codes(str(fa))
+    slow = [(n, encode(s)) for n, s in read_fastx(str(fa))]
+    assert len(fast) == len(slow) == 2
+    for (nf, cf), (ns, cs_) in zip(fast, slow):
+        assert nf == ns
+        assert np.array_equal(cf, cs_)
