@@ -272,10 +272,22 @@ void extend_banded_batch(const uint8_t* qs, const uint8_t* ts,
     info[0] = info[1] = info[2] = 0;
     if (Q <= 0 || T <= 0) continue;
     int S = Q + T - 1;
-    // band state, indexed by lane d for the current/previous diagonals
-    std::vector<int32_t> H1(W, NEGI), E1v(W, NEGI), E2v(W, NEGI),
-        F1v(W, NEGI), F2v(W, NEGI), H2(W, NEGI);
-    std::vector<int32_t> H1n(W), E1n(W), E2n(W), F1n(W), F2n(W);
+    // band state with 2-lane sentinel padding on both sides so the
+    // du/dl/dd_ accesses never branch (lane d lives at index d+2);
+    // separate allocations so __restrict__ holds for vectorization
+    const int PW = W + 4;
+    std::vector<int32_t> vH1(PW, NEGI), vE1(PW, NEGI), vE2(PW, NEGI),
+        vF1(PW, NEGI), vF2(PW, NEGI), vH2(PW, NEGI), vH1n(PW, NEGI),
+        vE1n(PW, NEGI), vE2n(PW, NEGI), vF1n(PW, NEGI), vF2n(PW, NEGI);
+    int32_t *H1 = vH1.data() + 2, *E1v = vE1.data() + 2,
+            *E2v = vE2.data() + 2, *F1v = vF1.data() + 2,
+            *F2v = vF2.data() + 2, *H2 = vH2.data() + 2,
+            *H1n = vH1n.data() + 2, *E1n = vE1n.data() + 2,
+            *E2n = vE2n.data() + 2, *F1n = vF1n.data() + 2,
+            *F2n = vF2n.data() + 2;
+    auto reset_sentinels = [&](int32_t* base) {
+      base[-2] = base[-1] = base[W] = base[W + 1] = NEGI;
+    };
     std::vector<uint8_t> dir((int64_t)S * W, 0);
     auto gap = [&](long l) {
       long g1 = gq + l * ge, g2 = gq2 + l * ge2;
@@ -298,16 +310,67 @@ void extend_banded_batch(const uint8_t* qs, const uint8_t* ts,
         H1n[d] = E1n[d] = E2n[d] = F1n[d] = F2n[d] = NEGI;
       for (int d = (d_hi < -1 ? 0 : d_hi + 1); d < W; ++d)
         H1n[d] = E1n[d] = E2n[d] = F1n[d] = F2n[d] = NEGI;
+      const int ou = d1 - 1, ol = d1, od = d2 - 1;
+      uint8_t* drow = dir.data() + (int64_t)s * W;
+      const uint8_t* trow = t + (s - lo);  // t[j] = trow[-d]
+      const uint8_t* qrow = q + lo;
+      // branch-free interior sweep (auto-vectorizable)
+      const int32_t* __restrict pH1 = H1;
+      const int32_t* __restrict pE1 = E1v;
+      const int32_t* __restrict pE2 = E2v;
+      const int32_t* __restrict pF1 = F1v;
+      const int32_t* __restrict pF2 = F2v;
+      const int32_t* __restrict pH2 = H2;
+      int32_t* __restrict oH = H1n;
+      int32_t* __restrict oE1 = E1n;
+      int32_t* __restrict oE2 = E2n;
+      int32_t* __restrict oF1 = F1n;
+      int32_t* __restrict oF2 = F2n;
+#pragma GCC ivdep
       for (int d = d_lo; d <= d_hi; ++d) {
+        int32_t H_up = pH1[d + ou], F1_up = pF1[d + ou], F2_up = pF2[d + ou];
+        int32_t H_left = pH1[d + ol], E1_left = pE1[d + ol],
+                E2_left = pE2[d + ol];
+        int32_t H_diag = pH2[d + od];
+        int32_t e1o = H_left - gq;
+        int32_t e1 = (E1_left > e1o ? E1_left : e1o) - ge;
+        uint8_t e1c = E1_left > e1o ? E1_CONT : 0;
+        int32_t e2o = H_left - gq2;
+        int32_t e2 = (E2_left > e2o ? E2_left : e2o) - ge2;
+        uint8_t e2c = E2_left > e2o ? E2_CONT : 0;
+        int32_t f1o = H_up - gq;
+        int32_t f1 = (F1_up > f1o ? F1_up : f1o) - ge;
+        uint8_t f1c = F1_up > f1o ? F1_CONT : 0;
+        int32_t f2o = H_up - gq2;
+        int32_t f2 = (F2_up > f2o ? F2_up : f2o) - ge2;
+        uint8_t f2c = F2_up > f2o ? F2_CONT : 0;
+        int qc = qrow[d], tc = trow[-d];
+        int32_t pair = (qc == 4 || tc == 4) ? -sc_ambi : (qc == tc ? a : -b);
+        int32_t h = H_diag + pair;
+        uint8_t src = 0;
+        if (e1 > h) { h = e1; src = 1; }
+        if (e2 > h) { h = e2; src = 2; }
+        if (f1 > h) { h = f1; src = 3; }
+        if (f2 > h) { h = f2; src = 4; }
+        oH[d] = h;
+        oE1[d] = e1;
+        oE2[d] = e2;
+        oF1[d] = f1;
+        oF2[d] = f2;
+        drow[d] = src | e1c | e2c | f1c | f2c;
+      }
+      // border fixups: i==0 only at lane -lo (lo==0), j==0 only at
+      // lane s-lo; recompute those (<=2) lanes with border values
+      for (int pass = 0; pass < 2; ++pass) {
+        int d = pass == 0 ? -lo : s - lo;
+        if (d < d_lo || d > d_hi) continue;
+        if (pass == 1 && lo == 0 && s - lo == 0) continue;  // same lane
         int i = lo + d, j = s - i;
-        int du = d + d1 - 1, dl = d + d1, dd_ = d + d2 - 1;
-        int32_t H_up = (du >= 0 && du < W) ? H1[du] : NEGI;
-        int32_t F1_up = (du >= 0 && du < W) ? F1v[du] : NEGI;
-        int32_t F2_up = (du >= 0 && du < W) ? F2v[du] : NEGI;
-        int32_t H_left = (dl >= 0 && dl < W) ? H1[dl] : NEGI;
-        int32_t E1_left = (dl >= 0 && dl < W) ? E1v[dl] : NEGI;
-        int32_t E2_left = (dl >= 0 && dl < W) ? E2v[dl] : NEGI;
-        int32_t H_diag = (dd_ >= 0 && dd_ < W) ? H2[dd_] : NEGI;
+        if ((pass == 0 && i != 0) || (pass == 1 && j != 0)) continue;
+        int32_t H_up = H1[d + ou], F1_up = F1v[d + ou], F2_up = F2v[d + ou];
+        int32_t H_left = H1[d + ol], E1_left = E1v[d + ol],
+                E2_left = E2v[d + ol];
+        int32_t H_diag = H2[d + od];
         if (i == 0 && j == 0) H_diag = 0;
         else if (i == 0) H_diag = -gap(j);
         else if (j == 0) H_diag = -gap(i);
@@ -338,27 +401,40 @@ void extend_banded_batch(const uint8_t* qs, const uint8_t* ts,
         E2n[d] = e2;
         F1n[d] = f1;
         F2n[d] = f2;
-        dir[(int64_t)s * W + d] = src | e1c | e2c | f1c | f2c;
-        // trackers: device order is (s asc, lane asc), strict '>'
-        if (h > best_sc) { best_sc = h; best_i = i; best_j = j; }
-        if (i == Q - 1 && h > g_sc) { g_sc = h; g_j = j; }
-        if (i == Q - 1 && j == T - 1) end_sc = h;
+        drow[d] = src | e1c | e2c | f1c | f2c;
       }
-      H2.swap(H1);
-      H1.swap(H1n);
-      E1v.swap(E1n);
-      E2v.swap(E2n);
-      F1v.swap(F1n);
-      F2v.swap(F2n);
-      lo2 = lo1;
-      lo1 = lo;
-      // zdrop early termination (extension mode only, ksw2-style):
-      // stop once the whole diagonal fell zdrop below the running max
-      if (mode == 1 && zdrop > 0) {
+      // tracker pass in device order (s asc, lane asc, strict '>')
+      {
         int32_t diag_best = NEGI;
-        for (int d = 0; d < W; ++d)
-          if (H1[d] > diag_best) diag_best = H1[d];
-        if (best_sc > NEGI / 2 && diag_best < best_sc - zdrop) break;
+        for (int d = d_lo; d <= d_hi; ++d) {
+          int32_t h = H1n[d];
+          if (h > diag_best) diag_best = h;
+          if (h > best_sc) {
+            best_sc = h;
+            best_i = lo + d;
+            best_j = s - (lo + d);
+          }
+        }
+        int d_last = (Q - 1) - lo;  // lane of the last query row
+        if (d_last >= d_lo && d_last <= d_hi) {
+          int32_t h = H1n[d_last];
+          if (h > g_sc) { g_sc = h; g_j = s - (Q - 1); }
+          if (s == S - 1) end_sc = h;
+        }
+        std::swap(H1, H2);
+        std::swap(H1, H1n);
+        std::swap(E1v, E1n);
+        std::swap(E2v, E2n);
+        std::swap(F1v, F1n);
+        std::swap(F2v, F2n);
+        for (int32_t* base : {H1, E1v, E2v, F1v, F2v, H2, H1n, E1n, E2n, F1n, F2n})
+          reset_sentinels(base);
+        lo2 = lo1;
+        lo1 = lo;
+        // zdrop early termination (extension mode, ksw2-style)
+        if (mode == 1 && zdrop > 0 && best_sc > NEGI / 2 &&
+            diag_best < best_sc - zdrop)
+          break;
       }
     }
     int si, sj, sc;
