@@ -24,4 +24,64 @@ from .api import Aligner, Mapping, Strand
 from .runtime.batch import AlignmentBatchResultIter
 
 __version__ = "0.1.0"
-__all__ = ["Aligner", "Mapping", "Strand", "AlignmentBatchResultIter"]
+__all__ = [
+    "Aligner",
+    "Mapping",
+    "Strand",
+    "AlignmentBatchResultIter",
+    "fastx_read",
+    "revcomp",
+]
+
+_COMP = str.maketrans("ACGTUacgtu", "TGCAAtgcaa")
+
+
+def revcomp(seq: str) -> str:
+    """Reverse complement (mappy.revcomp drop-in)."""
+    return seq.translate(_COMP)[::-1]
+
+
+def fastx_read(path: str, read_comment: bool = False):
+    """Yield (name, seq, qual[, comment]) like mappy.fastx_read.
+
+    qual is None for FASTA records; comment is the rest of the header
+    line when read_comment=True."""
+    import gzip
+
+    with open(path, "rb") as probe:
+        magic = probe.read(2)
+    opener = gzip.open if magic == b"\x1f\x8b" else open
+    with opener(path, "rt") as fh:
+        it = iter(fh)
+        name = comment = None
+        chunks = []
+        mode = None
+        for line in it:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            if mode is None:
+                mode = "fastq" if line[0] == "@" else "fasta"
+            if mode == "fasta":
+                if line.startswith(">"):
+                    if name is not None:
+                        rec = (name, "".join(chunks), None)
+                        yield rec + ((comment,) if read_comment else ())
+                    parts = line[1:].split(None, 1)
+                    name = parts[0] if parts else ""
+                    comment = parts[1] if len(parts) > 1 else None
+                    chunks = []
+                else:
+                    chunks.append(line)
+            else:
+                parts = line[1:].split(None, 1)
+                rname = parts[0] if parts else ""
+                rcomment = parts[1] if len(parts) > 1 else None
+                seq = next(it).rstrip("\n")
+                next(it)
+                qual = next(it).rstrip("\n")
+                rec = (rname, seq, qual)
+                yield rec + ((rcomment,) if read_comment else ())
+        if mode == "fasta" and name is not None:
+            rec = (name, "".join(chunks), None)
+            yield rec + ((comment,) if read_comment else ())

@@ -278,3 +278,18 @@ def test_map_batch_string_input_fails_dict_check(al):
     with pytest.raises(TypeError) as excinfo:
         al.map_batch("ACGTACGT")
     assert "Element in iterable is not a dictionary" in str(excinfo.value)
+
+
+def test_mappy_module_helpers(tmp_path):
+    assert mappy_rs_tpu.revcomp("ACGTN") == "NACGT"
+    assert mappy_rs_tpu.revcomp("aacgt") == "acgtt"
+    fa = tmp_path / "x.fa"
+    fa.write_text(">r1 some comment\nACGT\nACGT\n>r2\nTTTT\n")
+    recs = list(mappy_rs_tpu.fastx_read(str(fa)))
+    assert recs == [("r1", "ACGTACGT", None), ("r2", "TTTT", None)]
+    recs_c = list(mappy_rs_tpu.fastx_read(str(fa), read_comment=True))
+    assert recs_c[0] == ("r1", "ACGTACGT", None, "some comment")
+    fq = tmp_path / "x.fq"
+    fq.write_text("@q1\nACGT\n+\nIIII\n@q2 c2\nGGGG\n+\n!!!!\n")
+    recs = list(mappy_rs_tpu.fastx_read(str(fq)))
+    assert recs == [("q1", "ACGT", "IIII"), ("q2", "GGGG", "!!!!")]
