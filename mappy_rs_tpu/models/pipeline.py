@@ -177,8 +177,13 @@ class AlignmentEngine:
         k, w = self.index.k, self.index.w
         B_real = len(idxs)
         # only two batch shapes per bucket (tiny / full): worker-drain
-        # sizes vary run to run, and every new B is a fresh compile
-        B = 8 if B_real <= 8 else self.cfg.device_batch_size
+        # sizes vary run to run, and every new B is a fresh compile.
+        # Full size scales down for long-read buckets so [B, L] work
+        # arrays stay bounded (~256k cells/batch).
+        full_B = max(8, _pow2_at_least(
+            max(self.cfg.device_batch_size * 1024 // L, 8)) // 1)
+        full_B = min(full_B, self.cfg.device_batch_size)
+        B = 8 if B_real <= 8 else full_B
         M = max(64, L // max(w // 2, 1))
         A = max(256, int(L * self.cfg.anchors_per_base))
         A = _pow2_at_least(A)
@@ -234,11 +239,18 @@ class AlignmentEngine:
                     jax.default_backend() == "tpu",
                     float(self.opt.q_occ_frac),
                 )
-                # trim the transfer to the anchors actually present
-                n_np = np.asarray(n_dev)
-                A_used = _pow2_at_least(max(int(n_np.max()), 16))
-                A_used = min(A_used, A)
-                arr = np.asarray(stacked[:, :, :A_used])
+                # trim the transfer to the anchors actually present;
+                # optimistically fetch the first 128 slots together with
+                # the counts (one pipelined device_get), refetch wider
+                # only when some read actually has more anchors
+                A_opt = min(128, A)
+                arr, n_np = jax.device_get(
+                    (stacked[:, :, :A_opt], n_dev)
+                )
+                n_np = np.asarray(n_np)
+                if int(n_np.max()) > A_opt:
+                    A_used = min(_pow2_at_least(int(n_np.max())), A)
+                    arr = np.asarray(stacked[:, :, :A_used])
                 meta = arr[0]
                 anchors_np = {
                     "rev": (meta >> 30) & 1,
