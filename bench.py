@@ -101,7 +101,7 @@ def main() -> None:
     # the backend's first compile per process is slow — pay it here).
     # Both batch shapes (full B and the tiny-B straggler path) compile.
     n_hit = 0
-    for _ in al.map_batch(payload[:512]):
+    for _ in al.map_batch(payload[:256]):
         pass
     al.map(reads[0])
 

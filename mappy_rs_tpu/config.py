@@ -237,7 +237,7 @@ class AlignerConfig:
 
     # --- TPU runtime knobs (no analogue in the reference; tuned here) ---
     # max reads per device batch in the streaming map_batch pipeline
-    device_batch_size: int = 512
+    device_batch_size: int = 256
     # length buckets for padding variable-length reads (powers-of-two-ish)
     length_buckets: tuple[int, ...] = (512, 1024, 2048, 8192, 32768, 131072)
     # per-read anchor capacity per bucket (scaled with length)
