@@ -98,3 +98,23 @@ def test_read_spanning_contig_boundary_noise(tmp_path):
         else:
             assert abs(h.target_start - 9000) < 60
             assert h.query_start >= 540
+
+
+def test_short_read_preset(tmp_path):
+    """sr preset (k=21, w=11): 150bp single-end reads map accurately."""
+    rng = np.random.default_rng(13)
+    genome = "".join(rng.choice(list("ACGT"), size=80_000))
+    fa = tmp_path / "g.fa"
+    fa.write_text(f">chr\n{genome}\n")
+    al = mappy_rs_tpu.Aligner(str(fa), preset="sr")
+    assert al.k == 21 and al.w == 11
+    n_ok = 0
+    for _ in range(30):
+        start = int(rng.integers(0, len(genome) - 150))
+        read = list(genome[start : start + 150])
+        for p in rng.choice(150, 2, replace=False):  # 2 mismatches
+            read[p] = "ACGT"[("ACGT".index(read[p]) + 1) % 4]
+        hits = al.map("".join(read))
+        if hits and abs(hits[0].target_start - start) < 10:
+            n_ok += 1
+    assert n_ok >= 28, f"sr preset: only {n_ok}/30 correct"
