@@ -293,3 +293,11 @@ def test_mappy_module_helpers(tmp_path):
     fq.write_text("@q1\nACGT\n+\nIIII\n@q2 c2\nGGGG\n+\n!!!!\n")
     recs = list(mappy_rs_tpu.fastx_read(str(fq)))
     assert recs == [("q1", "ACGT", "IIII"), ("q2", "GGGG", "!!!!")]
+
+
+def test_enable_threading_zero(al):
+    al2 = mappy_rs_tpu.Aligner(str(MMI_FILE))
+    al2.enable_threading(0)
+    with pytest.raises(RuntimeError) as excinfo:
+        al2.map_batch([{"seq": "ACGT"}])
+    assert "Multi threading not enabled" in str(excinfo.value)
