@@ -301,3 +301,28 @@ def test_enable_threading_zero(al):
     with pytest.raises(RuntimeError) as excinfo:
         al2.map_batch([{"seq": "ACGT"}])
     assert "Multi threading not enabled" in str(excinfo.value)
+
+
+def test_degenerate_inputs(al):
+    """Empty/tiny/N-only reads and empty/tiny references must never
+    crash — they yield no hits, like the C core."""
+    assert al.map("") == []
+    assert al.map("A") == []
+    assert al.map("N" * 50) == []
+    al.enable_threading(2)
+    res = list(al.map_batch([{"seq": ""}, {"seq": "A"}, {"seq": "N" * 30}]))
+    assert len(res) == 3
+    assert all(m == [] for m, _ in res)
+
+
+def test_empty_and_tiny_reference(tmp_path):
+    p = tmp_path / "empty.fa"
+    p.write_text("")
+    al = mappy_rs_tpu.Aligner(str(p))
+    assert al.n_seq == 0
+    assert al.map("ACGT" * 30) == []
+    p2 = tmp_path / "tiny.fa"
+    p2.write_text(">tiny\nACGTACGT\n")
+    al2 = mappy_rs_tpu.Aligner(str(p2))
+    assert al2.n_seq == 1
+    assert al2.map("ACGTACGT") == []  # shorter than k: no minimizers
