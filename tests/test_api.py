@@ -326,3 +326,19 @@ def test_empty_and_tiny_reference(tmp_path):
     al2 = mappy_rs_tpu.Aligner(str(p2))
     assert al2.n_seq == 1
     assert al2.map("ACGTACGT") == []  # shorter than k: no minimizers
+
+
+def test_extra_flags_no_print_2nd(tmp_path):
+    """extra_flags=0x4000 (MM_F_NO_PRINT_2ND) suppresses secondaries."""
+    import numpy as np
+
+    rng = np.random.default_rng(2)
+    core = "".join(rng.choice(list("ACGT"), size=600))
+    fa = tmp_path / "r.fa"
+    fa.write_text(f">copyA\n{core}\n>copyB\n{core}\n")
+    al_all = mappy_rs_tpu.Aligner(str(fa))
+    al_pri = mappy_rs_tpu.Aligner(str(fa), extra_flags=0x4000)
+    read = core[50:550]
+    assert len(al_all.map(read)) == 2
+    hits = al_pri.map(read)
+    assert len(hits) == 1 and hits[0].is_primary
