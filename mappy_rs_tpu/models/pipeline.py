@@ -279,6 +279,7 @@ class AlignmentEngine:
                 jobs.extend(self._make_jobs(regions, codes[ri], qlen))
 
             self._run_jobs(jobs)
+            min_dp = self.opt.min_dp_max
             for ri, regions in read_regions:
                 # a region survives only if EVERY mid segment aligned
                 # (an empty part would silently drop query/ref span)
@@ -289,6 +290,9 @@ class AlignmentEngine:
                     and all(x is not None and x[0] for x in r._mid_parts)
                 ]
                 self._finalize(done, codes[ri], cs, md)
+                # minimap2's min_dp_max: drop regions whose DP score is
+                # below the floor (the `min_dp_score` ctor kwarg)
+                done = [r for r in done if r.dp_score >= min_dp]
                 done.sort(key=lambda r: (r.parent != r.id, -r.dp_score))
                 out[ri] = done
 

@@ -342,3 +342,17 @@ def test_extra_flags_no_print_2nd(tmp_path):
     assert len(al_all.map(read)) == 2
     hits = al_pri.map(read)
     assert len(hits) == 1 and hits[0].is_primary
+
+
+def test_min_dp_score_filter(tmp_path):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    g = "".join(rng.choice(list("ACGT"), size=20_000))
+    fa = tmp_path / "g.fa"
+    fa.write_text(f">g\n{g}\n")
+    read = g[1000:1400]
+    al_lo = mappy_rs_tpu.Aligner(str(fa))
+    assert len(al_lo.map(read)) == 1  # dp ~ 800
+    al_hi = mappy_rs_tpu.Aligner(str(fa), min_dp_score=5000)
+    assert al_hi.map(read) == []
