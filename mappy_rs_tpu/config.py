@@ -251,6 +251,17 @@ class AlignerConfig:
     # must cross device->host and tunnel-attached dev chips download
     # at <1MB/s.  On real pods with local PCIe/ICI use "device".
     extension_backend: str = "auto"
+    # chain backtracking: "auto" | "on" | "off".  "on" runs the Mosaic
+    # backtrack kernel (ops/backtrack_pallas.py) so only a compact
+    # [B, K*FLD] chain summary crosses device->host instead of the full
+    # packed anchor stack; "off" backtracks on host from f/p.  "auto"
+    # enables it on TPU backends only (on CPU the kernel runs in
+    # interpret mode — correct but slower than the host walk).
+    device_backtrack: str = "auto"
+    # top-K chain candidate ends processed per read by the device
+    # backtrack (the host path has no cap; select_sub keeps at most
+    # best_n secondaries, so best_n + 3 loses nothing in practice)
+    backtrack_k: int = 8
 
     def replace(self, **kw) -> "AlignerConfig":
         return dataclasses.replace(self, **kw)

@@ -29,6 +29,7 @@ from ..ops.regions import (
     Region,
     backtrack_chains,
     gen_regions,
+    regions_from_compact,
     select_sub,
     set_mapq,
     set_parent,
@@ -95,6 +96,42 @@ def _front_end(
         [meta, anchors["rpos"], anchors["qpos"], f, p], axis=0
     )
     return stacked, anchors["n"]
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "w", "M", "A", "chain_params", "chain_window", "use_pallas",
+        "q_occ_frac", "bt_k", "bt_cuts", "min_cnt", "min_sc",
+    ),
+)
+def _front_end_bt(
+    codes, lens, sk_lens, hpc_force, hpc_pos_map, hpc_spans,
+    key_hi, key_lo, offsets, counts, pos_rid, pos_ps,
+    n_keys, mid_occ, k, w, M, A, chain_params, chain_window, use_pallas,
+    q_occ_frac, bt_k, bt_cuts, min_cnt, min_sc,
+):
+    """_front_end + on-device chain backtracking: the whole seeding and
+    chaining path runs in one dispatch and only the compact
+    [B, bt_k, 9+2*bt_cuts] chain table is downloaded (~5-7x less than
+    the packed anchor stack — the dominant cost on tunnel links)."""
+    from ..ops.backtrack_pallas import backtrack_chains_pallas
+
+    mins = sketch_compact(
+        codes, sk_lens, k, w, M,
+        force_inf=hpc_force, pos_map=hpc_pos_map, spans=hpc_spans,
+    )
+    anchors = collect_anchors(
+        mins, lens, key_hi, key_lo, offsets, counts, pos_rid, pos_ps,
+        n_keys, mid_occ, A, k, q_occ_frac,
+    )
+    if use_pallas:
+        f, p = chain_scores_pallas(anchors, chain_params)
+    else:
+        f, p = chain_scores_block(anchors, chain_params, chain_window)
+    return backtrack_chains_pallas(
+        anchors, f, p, bt_k, bt_cuts, min_cnt, min_sc
+    )
 
 
 @dataclass
@@ -214,65 +251,57 @@ class AlignmentEngine:
                 fe_codes = jnp.asarray(batch)
                 fe_sklens = jnp.asarray(lens)
                 fe_force = fe_posmap = fe_spans = None
-            with self.metrics.timer("front_end"):
-                stacked, n_dev = _front_end(
-                    fe_codes,
-                    jnp.asarray(lens),
-                    fe_sklens,
-                    fe_force,
-                    fe_posmap,
-                    fe_spans,
-                    self.dev.key_hi,
-                    self.dev.key_lo,
-                    self.dev.offsets,
-                    self.dev.counts,
-                    self.dev.pos_rid,
-                    self.dev.pos_ps,
-                    jnp.int32(self.dev.n_keys),
-                    jnp.int32(self.opt.mid_occ),
-                    k,
-                    w,
-                    M,
-                    A,
-                    self._chain_params,
-                    self.cfg.chain_window,
-                    jax.default_backend() == "tpu",
-                    float(self.opt.q_occ_frac),
-                )
-                # trim the transfer to the anchors actually present;
-                # optimistically fetch the first 128 slots together with
-                # the counts (one pipelined device_get), refetch wider
-                # only when some read actually has more anchors
-                A_opt = min(128, A)
-                arr, n_np = jax.device_get(
-                    (stacked[:, :, :A_opt], n_dev)
-                )
-                n_np = np.asarray(n_np)
-                if int(n_np.max()) > A_opt:
-                    A_used = min(_pow2_at_least(int(n_np.max())), A)
-                    arr = np.asarray(stacked[:, :, :A_used])
-                meta = arr[0]
-                anchors_np = {
-                    "rev": (meta >> 30) & 1,
-                    "valid": ((meta >> 29) & 1).astype(bool),
-                    "span": (meta >> 21) & 255,
-                    "rid": meta & ((1 << 21) - 1),
-                    "rpos": arr[1],
-                    "qpos": arr[2],
-                    "n": n_np,
-                }
-                f = arr[3]
-                p = arr[4]
+            fe_args = (
+                fe_codes,
+                jnp.asarray(lens),
+                fe_sklens,
+                fe_force,
+                fe_posmap,
+                fe_spans,
+                self.dev.key_hi,
+                self.dev.key_lo,
+                self.dev.offsets,
+                self.dev.counts,
+                self.dev.pos_rid,
+                self.dev.pos_ps,
+                jnp.int32(self.dev.n_keys),
+                jnp.int32(self.opt.mid_occ),
+                k,
+                w,
+                M,
+                A,
+                self._chain_params,
+                self.cfg.chain_window,
+                jax.default_backend() == "tpu",
+                float(self.opt.q_occ_frac),
+            )
+            use_bt = self._bt_enabled()
+            chains_np = anchors_np = f = p = None
+            if use_bt:
+                with self.metrics.timer("front_end"):
+                    bt_cuts = min(8, L // self.SEG_LEN)
+                    chains_np = np.asarray(jax.device_get(_front_end_bt(
+                        *fe_args, self.cfg.backtrack_k, bt_cuts,
+                        self.opt.min_cnt, self.opt.min_chain_score,
+                    )))
+            else:
+                with self.metrics.timer("front_end"):
+                    anchors_np, f, p = self._front_end_full(fe_args, A)
 
             jobs: List[_ExtJob] = []
             read_regions: List[Tuple[int, List[Region]]] = []
             for bi, ri in enumerate(chunk):
                 qlen = int(lens[bi])
-                chains = backtrack_chains(
-                    f[bi], p[bi], anchors_np["valid"][bi],
-                    self.opt.min_cnt, self.opt.min_chain_score,
-                )
-                regions = gen_regions(chains, anchors_np, bi, qlen, k)
+                if use_bt:
+                    regions = regions_from_compact(
+                        chains_np[bi], qlen, k
+                    )
+                else:
+                    chains = backtrack_chains(
+                        f[bi], p[bi], anchors_np["valid"][bi],
+                        self.opt.min_cnt, self.opt.min_chain_score,
+                    )
+                    regions = gen_regions(chains, anchors_np, bi, qlen, k)
                 set_parent(regions, self.opt.mask_level, self.opt.mask_len)
                 regions = select_sub(regions, self.opt.pri_ratio, self.opt.best_n)
                 read_regions.append((ri, regions))
@@ -295,6 +324,46 @@ class AlignmentEngine:
                 done = [r for r in done if r.dp_score >= min_dp]
                 done.sort(key=lambda r: (r.parent != r.id, -r.dp_score))
                 out[ri] = done
+
+    def _bt_enabled(self) -> bool:
+        mode = self.cfg.device_backtrack
+        if mode == "on":
+            return True
+        if mode == "off":
+            return False
+        import jax
+
+        # auto: the kernel only pays off on a real accelerator — in
+        # interpret mode (CPU) the host walk is faster
+        return jax.default_backend() == "tpu"
+
+    def _front_end_full(self, fe_args, A: int):
+        """Host-backtrack front end: download the packed anchor stack.
+
+        Trims the transfer to the anchors actually present:
+        optimistically fetches the first 128 slots together with the
+        counts (one pipelined device_get) and refetches wider only
+        when some read actually has more anchors."""
+        import jax
+
+        stacked, n_dev = _front_end(*fe_args)
+        A_opt = min(128, A)
+        arr, n_np = jax.device_get((stacked[:, :, :A_opt], n_dev))
+        n_np = np.asarray(n_np)
+        if int(n_np.max()) > A_opt:
+            A_used = min(_pow2_at_least(int(n_np.max())), A)
+            arr = np.asarray(stacked[:, :, :A_used])
+        meta = arr[0]
+        anchors_np = {
+            "rev": (meta >> 30) & 1,
+            "valid": ((meta >> 29) & 1).astype(bool),
+            "span": (meta >> 21) & 255,
+            "rid": meta & ((1 << 21) - 1),
+            "rpos": arr[1],
+            "qpos": arr[2],
+            "n": n_np,
+        }
+        return anchors_np, arr[3], arr[4]
 
     # ------------------------------------------------------------------
     def _make_jobs(

@@ -139,6 +139,53 @@ def gen_regions(
     return regions
 
 
+def regions_from_compact(
+    rows: np.ndarray, qlen: int, default_span: int
+) -> List[Region]:
+    """gen_regions over the device backtrack kernel's compact chain
+    table (ops/backtrack_pallas.py field layout): one [K, 9+2*cuts]
+    int32 block per read; empty slots have score < 0.  The sampled
+    anchors (first, recorded cuts, last) are exactly what
+    _mid_segments needs — interior cuts are >= SEG_LEN apart by
+    construction."""
+    regions: List[Region] = []
+    for row in rows:
+        sc = int(row[0])
+        if sc < 0:
+            continue
+        sp = int(row[8]) if row[8] > 0 else default_span
+        rev = int(row[2])
+        q_first, q_last = int(row[6]), int(row[7])
+        if rev == 0:
+            qs = q_first + 1 - sp
+            qe = q_last + 1
+        else:
+            qs = qlen - (q_last + 1)
+            qe = qlen - (q_first + 1 - sp)
+        # cut pairs are recorded end->start (descending qpos)
+        cuts_q = [int(v) for v in row[9::2] if v >= 0][::-1]
+        cuts_r = [int(v) for v in row[10::2] if v >= 0][::-1]
+        regions.append(
+            Region(
+                rev=rev,
+                rid=int(row[3]),
+                qs=qs,
+                qe=qe,
+                rs=max(int(row[4]) + 1 - sp, 0),
+                re=int(row[5]) + 1,
+                score=sc,
+                cnt=int(row[1]),
+                anchors_qpos=np.asarray(
+                    [q_first] + cuts_q + [q_last], np.int32
+                ),
+                anchors_rpos=np.asarray(
+                    [int(row[4])] + cuts_r + [int(row[5])], np.int32
+                ),
+            )
+        )
+    return regions
+
+
 def set_parent(
     regions: List[Region], mask_level: float, mask_len: int
 ) -> None:
