@@ -255,8 +255,9 @@ class AlignerConfig:
     # backtrack kernel (ops/backtrack_pallas.py) so only a compact
     # [B, K*FLD] chain summary crosses device->host instead of the full
     # packed anchor stack; "off" backtracks on host from f/p.  "auto"
-    # enables it on TPU backends only (on CPU the kernel runs in
-    # interpret mode — correct but slower than the host walk).
+    # currently resolves to off: measured on the dev v5e the kernel's
+    # sequential walk costs more device time than the transfer saved
+    # (see CONTRIBUTING.md) — "on" is for bandwidth-starved links.
     device_backtrack: str = "auto"
     # top-K chain candidate ends processed per read by the device
     # backtrack (the host path has no cap; select_sub keeps at most

@@ -331,11 +331,13 @@ class AlignmentEngine:
             return True
         if mode == "off":
             return False
-        import jax
-
-        # auto: the kernel only pays off on a real accelerator — in
-        # interpret mode (CPU) the host walk is faster
-        return jax.default_backend() == "tpu"
+        # auto: off.  Measured on the tunnel-attached v5e (bench.py,
+        # 4 workers): the kernel's sequential K*A-step walk adds
+        # ~serialized device time per batch that outweighs the 5-7x
+        # transfer saving (741-866 vs 976 reads/s).  "on" is the right
+        # call only when device->host bandwidth, not device occupancy,
+        # is the binding constraint.
+        return False
 
     def _front_end_full(self, fe_args, A: int):
         """Host-backtrack front end: download the packed anchor stack.

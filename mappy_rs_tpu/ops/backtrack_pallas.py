@@ -24,12 +24,14 @@ These are the segmentation cut points models/pipeline._mid_segments
 needs to split long mid alignments at exact-match anchors — the host
 never needs the full anchor list.
 
-Mosaic notes: everything stays rank-2 ([B, A] anchor arrays,
-[B, K*FLD] output, [B, 1] per-read registers) with lane-mask selects;
-per-read random access v[b, cur[b]] is a masked lane reduction.  The
-K passes are unrolled in Python so each pass's output slot offsets are
-static; the walk is a fori_loop over A steps with finished reads
-masked out.
+Mosaic notes (the scf.for legalizer rejects [B,1] and i1 loop
+carries): the walk's per-read registers live in ONE [B,128] i32 array
+updated via column masks — the same pattern as extend_pallas's BST
+tracker — so the fori carry is three lane-aligned i32 arrays (used
+[B,A], regs [B,128], cuts [B,CPAD]).  Aliveness is encoded as cur=-1
+(no lane matches), all lane selects are int compares against [B,1]
+indices, and the K passes are unrolled in Python so each pass's output
+slot offsets are static.
 """
 from __future__ import annotations
 
@@ -49,15 +51,26 @@ SEG_LEN = 384  # query spacing between cuts (= pipeline SEG_LEN)
 # 6 qpos_first, 7 qpos_last, 8 span_first,
 # 9.. : (qpos, rpos) cut pairs in end->start order, -1 padded
 N_FIXED = 9
+# register columns in the [B, 128] walk-state array:
+# 0 cur, 1 alive, 2 cnt, 3 join_f, 4 q_first, 5 r_first, 6 sp_first,
+# 7 n_cuts, 8 next_cut
+_R_CUR, _R_ALIVE, _R_CNT, _R_JF, _R_QF, _R_RF, _R_SP, _R_NC, _R_NXC = (
+    range(9)
+)
 
 
-def _make_kernel(B, A, K, seg_cuts, min_cnt, min_sc):
+def _ceil128(n: int) -> int:
+    return (n + 127) & ~127
+
+
+def _make_kernel(B, A, K, seg_cuts, min_cnt, min_sc, CPAD):
     FLD = N_FIXED + 2 * seg_cuts
 
     def kernel(f_ref, p_ref, valid_ref, rev_ref, rid_ref, rpos_ref,
                qpos_ref, span_ref, out_ref):
         lane = jax.lax.broadcasted_iota(_I32, (B, A), 1)
-        laneK = jax.lax.broadcasted_iota(_I32, (B, K * FLD), 1)
+        laneC = jax.lax.broadcasted_iota(_I32, (B, CPAD), 1)
+        colR = jax.lax.broadcasted_iota(_I32, (B, 128), 1)
         f = f_ref[:, :]
         p = p_ref[:, :]
         ok = valid_ref[:, :] != 0
@@ -67,70 +80,96 @@ def _make_kernel(B, A, K, seg_cuts, min_cnt, min_sc):
                            keepdims=True)
 
         used = jnp.zeros((B, A), _I32)
-        out = jnp.full((B, K * FLD), -1, _I32)
+        out = jnp.full((B, CPAD), -1, _I32)
 
         for kk in range(K):  # unrolled: static output slot offsets
             base = kk * FLD
             # best unused candidate end; ties -> larger anchor index
             fc = jnp.where(ok & (f >= min_sc) & (used == 0), f, NEG)
             best = jnp.max(fc, axis=1, keepdims=True)
-            end = jnp.max(jnp.where(fc == best, lane, -1), axis=1,
-                          keepdims=True)
-            active0 = best > NEG  # [B, 1]: this read still has a chain
-            endv = jnp.where(active0, end, -1)
+            endv = jnp.max(jnp.where(fc == best, lane, -1), axis=1,
+                           keepdims=True)  # -1 when no candidate
+            active0 = (best > NEG).astype(_I32)
             q_end = col(qpos_ref[:, :], endv)
 
+            # regs: cur=endv (already -1 when inactive), alive=active0,
+            # next_cut=q_end-SEG_LEN, the rest 0
+            regs = jnp.zeros((B, 128), _I32)
+            regs = jnp.where(colR == _R_CUR, endv, regs)
+            regs = jnp.where(colR == _R_ALIVE, active0, regs)
+            regs = jnp.where(colR == _R_NXC, q_end - SEG_LEN, regs)
+
             def walk(_, c):
-                (used, cur, alive, cnt, join_f, q_first, r_first,
-                 sp_first, n_cuts, next_cut, cuts) = c
-                curv = jnp.where(alive, cur, -1)
-                used = jnp.where((lane == curv) & alive, 1, used)
-                qp = col(qpos_ref[:, :], curv)
-                rp = col(rpos_ref[:, :], curv)
+                used, regs, cuts = c
+                cur = regs[:, _R_CUR:_R_CUR + 1]  # -1 once finished
+                alive = regs[:, _R_ALIVE:_R_ALIVE + 1]
+                used = jnp.where(lane == cur, 1, used)
+                qp = col(qpos_ref[:, :], cur)
+                rp = col(rpos_ref[:, :], cur)
+                sp = col(span_ref[:, :], cur)
+                live = alive > 0  # [B,1] bool, used on [B,1]s only
                 # walk order is end->start: the current anchor is
                 # always the earliest seen so far
-                q_first = jnp.where(alive, qp, q_first)
-                r_first = jnp.where(alive, rp, r_first)
-                sp_first = jnp.where(
-                    alive, col(span_ref[:, :], curv), sp_first)
+                q_first = jnp.where(live, qp, regs[:, _R_QF:_R_QF + 1])
+                r_first = jnp.where(live, rp, regs[:, _R_RF:_R_RF + 1])
+                sp_first = jnp.where(live, sp, regs[:, _R_SP:_R_SP + 1])
+                cnt = regs[:, _R_CNT:_R_CNT + 1] + alive
+                n_cuts = regs[:, _R_NC:_R_NC + 1]
+                next_cut = regs[:, _R_NXC:_R_NXC + 1]
                 if seg_cuts > 0:
                     # record a segmentation cut when qpos crosses the
                     # (descending) threshold, capped at seg_cuts
-                    do_cut = alive & (qp <= next_cut) & (n_cuts < seg_cuts)
-                    slot = base + N_FIXED + 2 * n_cuts  # [B, 1]
-                    cuts = jnp.where(do_cut & (laneK == slot), qp, cuts)
-                    cuts = jnp.where(
-                        do_cut & (laneK == slot + 1), rp, cuts)
+                    do_cut = live & (qp <= next_cut) & (n_cuts < seg_cuts)
+                    # -2 slot when not cutting: neither slot nor
+                    # slot+1 matches any lane
+                    slot = jnp.where(
+                        do_cut, base + N_FIXED + 2 * n_cuts, -2)
+                    cuts = jnp.where(laneC == slot, qp, cuts)
+                    cuts = jnp.where(laneC == slot + 1, rp, cuts)
                     n_cuts = jnp.where(do_cut, n_cuts + 1, n_cuts)
                     next_cut = jnp.where(do_cut, qp - SEG_LEN, next_cut)
-                cnt = jnp.where(alive, cnt + 1, cnt)
-                nxt = col(p, curv)
+                nxt = col(p, cur)
                 nxt_used = col(used, nxt) > 0
-                joins = alive & (nxt >= 0) & nxt_used
-                join_f = jnp.where(joins, col(f, nxt), join_f)
-                alive = alive & (nxt >= 0) & (~nxt_used)
-                cur = jnp.where(alive, nxt, cur)
-                return (used, cur, alive, cnt, join_f, q_first, r_first,
-                        sp_first, n_cuts, next_cut, cuts)
+                joins = live & (nxt >= 0) & nxt_used
+                join_f = jnp.where(
+                    joins, col(f, nxt), regs[:, _R_JF:_R_JF + 1])
+                live2 = live & (nxt >= 0) & (~nxt_used)
+                cur = jnp.where(live2, nxt, -1)
+                alive = live2.astype(_I32)
+                regs = jnp.where(colR == _R_CUR, cur, regs)
+                regs = jnp.where(colR == _R_ALIVE, alive, regs)
+                regs = jnp.where(colR == _R_CNT, cnt, regs)
+                regs = jnp.where(colR == _R_JF, join_f, regs)
+                regs = jnp.where(colR == _R_QF, q_first, regs)
+                regs = jnp.where(colR == _R_RF, r_first, regs)
+                regs = jnp.where(colR == _R_SP, sp_first, regs)
+                regs = jnp.where(colR == _R_NC, n_cuts, regs)
+                regs = jnp.where(colR == _R_NXC, next_cut, regs)
+                return used, regs, cuts
 
-            z = jnp.zeros((B, 1), _I32)
-            cuts0 = jnp.full((B, K * FLD), -1, _I32)
-            (used, _, _, cnt, join_f, q_first, r_first, sp_first,
-             _, _, cuts) = jax.lax.fori_loop(
-                0, A, walk,
-                (used, endv, active0, z, z, z, z, z, z,
-                 q_end - SEG_LEN, cuts0),
-            )
-            sc = col(f, endv) - join_f
-            keep = active0 & (cnt >= min_cnt) & (sc >= min_sc)
+            cuts0 = jnp.full((B, CPAD), -1, _I32)
+            used, regs, cuts = jax.lax.fori_loop(
+                0, A, walk, (used, regs, cuts0))
+
+            sc = col(f, endv) - regs[:, _R_JF:_R_JF + 1]
+            cnt = regs[:, _R_CNT:_R_CNT + 1]
+            keep = (
+                (active0 > 0) & (cnt >= min_cnt) & (sc >= min_sc)
+            )  # [B, 1] bool, only compared/selected on [B,1]s below
             vals = (sc, cnt, col(rev_ref[:, :], endv),
-                    col(rid_ref[:, :], endv), r_first,
-                    col(rpos_ref[:, :], endv), q_first, q_end, sp_first)
+                    col(rid_ref[:, :], endv),
+                    regs[:, _R_RF:_R_RF + 1],
+                    col(rpos_ref[:, :], endv),
+                    regs[:, _R_QF:_R_QF + 1], q_end,
+                    regs[:, _R_SP:_R_SP + 1])
             for off, v in enumerate(vals):
-                out = jnp.where(keep & (laneK == base + off), v, out)
+                # write lane base+off iff keep: -1 target matches none
+                tgt = jnp.where(keep, base + off, -1)
+                out = jnp.where(laneC == tgt, v, out)
             if seg_cuts > 0:
-                in_slot = (laneK >= base + N_FIXED) & (laneK < base + FLD)
-                out = jnp.where(keep & in_slot, cuts, out)
+                lo = jnp.where(keep, base + N_FIXED, CPAD + 1)
+                hi = jnp.where(keep, base + FLD, -1)
+                out = jnp.where((laneC >= lo) & (laneC < hi), cuts, out)
 
         out_ref[:, :] = out
 
@@ -150,11 +189,12 @@ def backtrack_chains_pallas(anchors, f, p, K, seg_cuts, min_cnt, min_sc):
     if span is None:
         span = jnp.zeros_like(f)
     FLD = N_FIXED + 2 * seg_cuts
+    CPAD = _ceil128(K * FLD)
     out = pl.pallas_call(
-        _make_kernel(B, A, K, seg_cuts, min_cnt, min_sc),
+        _make_kernel(B, A, K, seg_cuts, min_cnt, min_sc, CPAD),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, K * FLD), _I32),
+        out_shape=jax.ShapeDtypeStruct((B, CPAD), _I32),
         interpret=jax.default_backend() != "tpu",
     )(
         f.astype(_I32),
@@ -166,4 +206,4 @@ def backtrack_chains_pallas(anchors, f, p, K, seg_cuts, min_cnt, min_sc):
         anchors["qpos"].astype(_I32),
         span.astype(_I32),
     )
-    return out.reshape(B, K, FLD)
+    return out[:, : K * FLD].reshape(B, K, FLD)
