@@ -82,6 +82,17 @@ def _load() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         ]
     )
+    lib.fastx_scan.restype = ctypes.c_int64
+    lib.fastx_scan.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+    ]
+    lib.fastx_fill.argtypes = [ctypes.c_char_p, ctypes.c_int64] + [
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+    ] * 4
     _lib = lib
     return _lib
 
@@ -98,6 +109,38 @@ def encode(seq: str) -> Optional[np.ndarray]:
     out = np.empty(len(raw), np.uint8)
     lib.encode_ascii(raw, len(raw), out)
     return out
+
+
+def fastx_parse(data: bytes):
+    """Parse a FASTA/FASTQ buffer natively.
+
+    Returns (mode, names, comments, seqs, quals) where mode is 0 for
+    FASTA / 1 for FASTQ / -1 for empty input and each of the four
+    record fields is a (blob bytes, offsets int64[R+1]) pair, or None
+    if the native library is unavailable.  Line and tokenization
+    semantics are identical to the python fastx_read fallback."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(data)
+    totals = np.zeros(4, np.int64)
+    mode = np.zeros(1, np.int32)
+    r = int(lib.fastx_scan(data, n, totals, mode))
+    blobs = [np.zeros(max(int(t), 1), np.uint8) for t in totals]
+    offs = [np.zeros(r + 1, np.int64) for _ in range(4)]
+    if r:
+        lib.fastx_fill(
+            data, n,
+            blobs[0], offs[0], blobs[1], offs[1],
+            blobs[2], offs[2], blobs[3], offs[3],
+        )
+    return (
+        int(mode[0]),
+        (blobs[0], offs[0]),
+        (blobs[1], offs[1]),
+        (blobs[2], offs[2]),
+        (blobs[3], offs[3]),
+    )
 
 
 def traceback_batch(

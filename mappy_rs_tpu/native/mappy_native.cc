@@ -516,3 +516,139 @@ void cigar_stats(const int32_t* ops, int n_ops, const uint8_t* q,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// FASTA/FASTQ parser (the native data-loader analogue of the
+// reference's needletail path, src/lib.rs fastx handling): one scan
+// pass sizes the output blobs, one fill pass copies name / comment /
+// sequence / quality bytes into caller-allocated buffers with [R+1]
+// cumulative offsets.  Line/tokenization semantics replicate
+// mappy_rs_tpu.fastx_read's python fallback exactly: lines split on
+// '\n' only ('\r' is kept as data), empty lines are skipped between
+// records, FASTQ records are strict 4-line groups (a truncated final
+// record is dropped), header names are the first whitespace token and
+// comments the remainder after the whitespace run (length 0 => None).
+
+namespace {
+
+inline bool is_ws(uint8_t c) {
+  return c == ' ' || c == '\t' || c == '\r' || c == '\v' || c == '\f';
+}
+
+struct FastxOut {
+  bool fill;
+  uint8_t *names, *comments, *seqs, *quals;
+  int64_t *name_off, *com_off, *seq_off, *qual_off;
+  int64_t R = 0, nname = 0, ncom = 0, nseq = 0, nqual = 0;
+
+  void bytes(uint8_t* dst, int64_t& total, const uint8_t* src,
+             int64_t len) {
+    if (fill && len > 0) std::memcpy(dst + total, src, (size_t)len);
+    total += len;
+  }
+  void finish_record() {
+    ++R;
+    if (fill) {
+      name_off[R] = nname;
+      com_off[R] = ncom;
+      seq_off[R] = nseq;
+      qual_off[R] = nqual;
+    }
+  }
+  void header(const uint8_t* buf, int64_t ls, int64_t le) {
+    int64_t p = ls + 1;  // past '>' / '@'
+    while (p < le && is_ws(buf[p])) ++p;
+    int64_t n0 = p;
+    while (p < le && !is_ws(buf[p])) ++p;
+    bytes(names, nname, buf + n0, p - n0);
+    while (p < le && is_ws(buf[p])) ++p;
+    if (p < le) bytes(comments, ncom, buf + p, le - p);
+  }
+};
+
+// walks the buffer once; returns record count, fills totals[0..3]
+// (names, comments, seqs, quals) and *mode_out (0 fasta, 1 fastq,
+// -1 empty input)
+int64_t fastx_walk(const uint8_t* buf, int64_t n, FastxOut& o,
+                   int64_t* totals, int* mode_out) {
+  int64_t i = 0;
+  int mode = -1;
+  bool in_rec = false;
+  auto next_line = [&](int64_t& ls, int64_t& le) -> bool {
+    if (i >= n) return false;
+    ls = i;
+    const void* nl = std::memchr(buf + i, '\n', (size_t)(n - i));
+    le = nl ? (int64_t)((const uint8_t*)nl - buf) : n;
+    i = le < n ? le + 1 : n;
+    return true;
+  };
+  if (o.fill) {
+    o.name_off[0] = o.com_off[0] = o.seq_off[0] = o.qual_off[0] = 0;
+  }
+  int64_t ls, le;
+  while (next_line(ls, le)) {
+    if (le == ls) continue;  // skip empty lines between records
+    if (mode < 0) mode = buf[ls] == '@' ? 1 : 0;
+    if (mode == 0) {
+      if (buf[ls] == '>') {
+        if (in_rec) o.finish_record();
+        o.header(buf, ls, le);
+        in_rec = true;
+      } else if (in_rec) {
+        o.bytes(o.seqs, o.nseq, buf + ls, le - ls);
+      }
+      // lines before the first '>' are ignored, as in the fallback
+    } else {
+      int64_t s0, s1, p0, p1, q0, q1;
+      if (!next_line(s0, s1) || !next_line(p0, p1) ||
+          !next_line(q0, q1))
+        break;  // truncated trailing record: dropped
+      o.header(buf, ls, le);
+      o.bytes(o.seqs, o.nseq, buf + s0, s1 - s0);
+      o.bytes(o.quals, o.nqual, buf + q0, q1 - q0);
+      o.finish_record();
+    }
+  }
+  if (mode == 0 && in_rec) o.finish_record();
+  if (totals) {
+    totals[0] = o.nname;
+    totals[1] = o.ncom;
+    totals[2] = o.nseq;
+    totals[3] = o.nqual;
+  }
+  if (mode_out) *mode_out = mode;
+  return o.R;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t fastx_scan(const uint8_t* buf, int64_t n, int64_t* totals,
+                   int32_t* mode_out) {
+  FastxOut o;
+  o.fill = false;
+  int mode = -1;
+  int64_t r = fastx_walk(buf, n, o, totals, &mode);
+  *mode_out = (int32_t)mode;
+  return r;
+}
+
+void fastx_fill(const uint8_t* buf, int64_t n, uint8_t* names,
+                int64_t* name_off, uint8_t* comments, int64_t* com_off,
+                uint8_t* seqs, int64_t* seq_off, uint8_t* quals,
+                int64_t* qual_off) {
+  FastxOut o;
+  o.fill = true;
+  o.names = names;
+  o.comments = comments;
+  o.seqs = seqs;
+  o.quals = quals;
+  o.name_off = name_off;
+  o.com_off = com_off;
+  o.seq_off = seq_off;
+  o.qual_off = qual_off;
+  fastx_walk(buf, n, o, nullptr, nullptr);
+}
+
+}  // extern "C"
