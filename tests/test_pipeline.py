@@ -191,3 +191,34 @@ def test_long_read_segmented_alignment(tmp_path):
     m2 = al.map(rc)[0]
     assert m2.strand == -1
     assert abs(m2.target_start - start) < 50
+
+
+def test_ultralong_read_32k_bucket(tmp_path):
+    """A ~20 kb ONT-style read exercises the 32768 length bucket:
+    small-B batch shape, dozens of anchor-cut mid segments, stitched
+    coordinates still exact."""
+    rng = np.random.default_rng(17)
+    genome = "".join(rng.choice(list("ACGT"), size=60_000))
+    fa = tmp_path / "g.fa"
+    fa.write_text(f">g\n{genome}\n")
+    al = mappy_rs_tpu.Aligner(str(fa))
+    start = 20_000
+    s = list(genome[start : start + 20_000])
+    for p in rng.choice(19_800, 160, replace=False):
+        r = rng.random()
+        if r < 0.5:
+            s[p] = "ACGT"[("ACGT".index(s[p]) + 1) % 4]
+        elif r < 0.75:
+            s[p] = s[p] + "".join(rng.choice(list("ACGT"), size=2))
+        else:
+            s[p] = ""
+    read = "".join(s)
+    hits = al.map(read)
+    assert hits, "ultralong read failed to map"
+    m = hits[0]
+    assert abs(m.target_start - start) < 50
+    assert abs(m.target_end - (start + 20_000)) < 50
+    qspan = sum(n for n, op in m.cigar if op in (0, 1))
+    tspan = sum(n for n, op in m.cigar if op in (0, 2))
+    assert qspan == m.query_end - m.query_start
+    assert tspan == m.target_end - m.target_start
