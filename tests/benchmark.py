@@ -9,10 +9,13 @@ Not collected by pytest (no test_ functions); run directly:
 Prints a table of single-threaded map() vs map_batch() at 1..4 worker
 threads, mirroring the reference README's comparison format.
 """
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def simulate(rng, genome, n, length, err=0.05):

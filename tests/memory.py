@@ -8,10 +8,13 @@ runtime (queue churn, iterator churn, Mapping allocation).
     python tests/memory.py [--threaded] [--cycles N]
 """
 import argparse
+import os
 import resource
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def rss_mb() -> float:
