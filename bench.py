@@ -22,6 +22,7 @@ vs_baseline >= 5.0 at parity with the north-star goal.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -86,22 +87,33 @@ def _enable_compile_cache() -> None:
 
 
 def main() -> None:
-    """One retry loop around the measured run: the shared dev backend
-    occasionally kills a run with a transient tunnel/TPU error
-    (FAILED_PRECONDITION observed 2026-08-17); a fresh attempt against
-    the warm persistent compile cache is cheap, and a missing JSON
-    line costs the whole round's benchmark record."""
-    last = None
-    for attempt in range(3):
+    """Run the measurement in a subprocess with a hard timeout and
+    retry: the shared dev backend occasionally kills a run with a
+    transient tunnel/TPU error (FAILED_PRECONDITION observed
+    2026-08-17) or HANGS a device call outright (a 15-minute stall
+    observed the same day) — and a missing JSON line costs the whole
+    round's benchmark record.  Retries start against the warm
+    persistent compile cache, so they are cheap."""
+    import subprocess
+
+    if "--once" in sys.argv:
+        _run()
+        return
+    for attempt, tmo in enumerate((900, 900, 600)):
         try:
-            _run()
-            return
-        except Exception as e:  # noqa: BLE001 - report, retry once
-            last = e
-            print(f"# bench attempt {attempt + 1} failed: {e!r}",
-                  file=sys.stderr)
-            time.sleep(45)
-    raise last
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--once"],
+                timeout=tmo,
+            )
+            if proc.returncode == 0:
+                return
+            print(f"# bench attempt {attempt + 1}: exit "
+                  f"{proc.returncode}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"# bench attempt {attempt + 1}: timed out after "
+                  f"{tmo}s (backend stall)", file=sys.stderr)
+        time.sleep(45)
+    raise SystemExit(1)
 
 
 def _run() -> None:
