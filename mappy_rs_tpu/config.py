@@ -13,6 +13,7 @@ reference supports through ``mm_set_opt(preset, ...)``.
 from __future__ import annotations
 
 import dataclasses
+import os
 from dataclasses import dataclass, field
 
 # ---------------------------------------------------------------------------
@@ -263,6 +264,19 @@ class AlignerConfig:
     # backtrack (the host path has no cap; select_sub keeps at most
     # best_n secondaries, so best_n + 3 loses nothing in practice)
     backtrack_k: int = 8
+    # front end: "device" (sketch/lookup/chain on the accelerator) or
+    # "cpu" (native C++ scalar path, native/front_end.cc — the
+    # reference-style CPU aligner; also the measured bench baseline).
+    # Overridable per-process with MAPPY_RS_TPU_FRONT_END so bench and
+    # deployments can switch without touching the mappy-parity ctor.
+    front_end_backend: str = field(
+        default_factory=lambda: os.environ.get(
+            "MAPPY_RS_TPU_FRONT_END", "device"
+        )
+    )
+    # CPU chaining predecessor cap (minimap2 max_chain_iter); the
+    # device kernel's window is the lane-aligned 128
+    cpu_chain_max_iter: int = 5000
 
     def replace(self, **kw) -> "AlignerConfig":
         return dataclasses.replace(self, **kw)

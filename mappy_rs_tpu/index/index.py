@@ -158,6 +158,16 @@ class MinimizerIndex:
         pos_rid[:m] = (self.positions >> np.uint64(32)).astype(np.int32)
         pos_ps[:m] = (self.positions & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         ref_len = len(self.ref_codes)
+        # device arrays carry offsets as int32: a concatenated reference
+        # past 2^31 bp would silently wrap (GRCh38 is ~3.1 Gbp across
+        # contigs but each contig is <2^31; the CONCATENATED total is
+        # what must fit).  Fail loudly until per-contig rebasing lands.
+        if int(self.seq_offsets[-1]) >= 2**31:
+            raise OverflowError(
+                "total reference length exceeds 2^31 bp; int32 device "
+                "offsets would overflow — split the reference or use "
+                "the sharded index path with per-shard rebasing"
+            )
         ref_pad = ((ref_len + 127) // 128 + 1) * 128
         ref = np.full(ref_pad, 4, np.uint8)
         ref[:ref_len] = self.ref_codes

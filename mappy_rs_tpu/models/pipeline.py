@@ -18,6 +18,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from ..config import MM_F_SR as _MM_F_SR
 from ..config import AlignerConfig, MapOptions
 from ..index.index import MinimizerIndex
 from ..ops import cigar as cig
@@ -95,7 +96,9 @@ def _front_end(
     stacked = jnp.stack(
         [meta, anchors["rpos"], anchors["qpos"], f, p], axis=0
     )
-    return stacked, anchors["n"]
+    return stacked, jnp.stack(
+        [anchors["n"], anchors["n_raw"], anchors["rep_len"]]
+    )
 
 
 @partial(
@@ -131,7 +134,7 @@ def _front_end_bt(
         f, p = chain_scores_block(anchors, chain_params, chain_window)
     return backtrack_chains_pallas(
         anchors, f, p, bt_k, bt_cuts, min_cnt, min_sc
-    )
+    ), anchors["rep_len"]
 
 
 @dataclass
@@ -184,6 +187,12 @@ class AlignmentEngine:
         with self.metrics.timer("map_batch"):
             self.metrics.add("reads", len(seqs))
             codes = [encode(s) for s in seqs]
+            if self.cfg.front_end_backend == "cpu":
+                from .. import native
+
+                if native.available():
+                    self._map_cpu(codes, out, cs, md)
+                    return out
             # ---- length bucketing ----
             buckets: Dict[int, List[int]] = {}
             for i, c in enumerate(codes):
@@ -192,6 +201,39 @@ class AlignmentEngine:
             for L, idxs in buckets.items():
                 self._map_bucket(L, idxs, codes, out, cs, md)
         return out
+
+    def _map_cpu(
+        self,
+        codes: List[np.ndarray],
+        out: List[List[Region]],
+        cs: bool,
+        md: bool,
+    ) -> None:
+        """Full-batch CPU mapping: native front end (sketch + lookup +
+        chain + backtrack, native/front_end.cc) feeding the same
+        extension/finalize pipeline.  No padding/bucketing needed —
+        the scalar path is shape-free.  This is the reference-style
+        CPU aligner (and the measured bench baseline)."""
+        from .. import native
+
+        with self.metrics.timer("front_end"):
+            chains, rep_len, _n_anchors = native.front_end_batch(
+                self.index, codes, self.opt.mid_occ, self._chain_params,
+                self.cfg.cpu_chain_max_iter, self.opt.min_cnt,
+                self.opt.min_chain_score, self.cfg.backtrack_k,
+                8, self.SEG_LEN,
+            )
+        jobs: List[_ExtJob] = []
+        read_regions: List[Tuple[int, List[Region], int]] = []
+        for ri, c in enumerate(codes):
+            qlen = len(c)
+            regions = regions_from_compact(chains[ri], qlen, self.index.k)
+            set_parent(regions, self.opt.mask_level, self.opt.mask_len)
+            regions = select_sub(regions, self.opt.pri_ratio, self.opt.best_n)
+            read_regions.append((ri, regions, int(rep_len[ri])))
+            jobs.extend(self._make_jobs(regions, c, qlen))
+        self._run_jobs(jobs)
+        self._finish_reads(read_regions, codes, out, cs, md)
 
     def _bucket_len(self, n: int) -> int:
         for b in self.cfg.length_buckets:
@@ -277,19 +319,24 @@ class AlignmentEngine:
             )
             use_bt = self._bt_enabled()
             chains_np = anchors_np = f = p = None
+            rep_len = None
             if use_bt:
                 with self.metrics.timer("front_end"):
                     bt_cuts = min(8, L // self.SEG_LEN)
-                    chains_np = np.asarray(jax.device_get(_front_end_bt(
+                    chains_np, rep_len = jax.device_get(_front_end_bt(
                         *fe_args, self.cfg.backtrack_k, bt_cuts,
                         self.opt.min_cnt, self.opt.min_chain_score,
-                    )))
+                    ))
+                    chains_np = np.asarray(chains_np)
+                    rep_len = np.asarray(rep_len)
             else:
                 with self.metrics.timer("front_end"):
                     anchors_np, f, p = self._front_end_full(fe_args, A)
 
+            if rep_len is None:
+                rep_len = anchors_np["rep_len"]
             jobs: List[_ExtJob] = []
-            read_regions: List[Tuple[int, List[Region]]] = []
+            read_regions: List[Tuple[int, List[Region], int]] = []
             for bi, ri in enumerate(chunk):
                 qlen = int(lens[bi])
                 if use_bt:
@@ -304,26 +351,36 @@ class AlignmentEngine:
                     regions = gen_regions(chains, anchors_np, bi, qlen, k)
                 set_parent(regions, self.opt.mask_level, self.opt.mask_len)
                 regions = select_sub(regions, self.opt.pri_ratio, self.opt.best_n)
-                read_regions.append((ri, regions))
+                read_regions.append((ri, regions, int(rep_len[bi])))
                 jobs.extend(self._make_jobs(regions, codes[ri], qlen))
 
             self._run_jobs(jobs)
-            min_dp = self.opt.min_dp_max
-            for ri, regions in read_regions:
-                # a region survives only if EVERY mid segment aligned
-                # (an empty part would silently drop query/ref span)
-                done = [
-                    r
-                    for r in regions
-                    if hasattr(r, "_mid_parts")
-                    and all(x is not None and x[0] for x in r._mid_parts)
-                ]
-                self._finalize(done, codes[ri], cs, md)
-                # minimap2's min_dp_max: drop regions whose DP score is
-                # below the floor (the `min_dp_score` ctor kwarg)
-                done = [r for r in done if r.dp_score >= min_dp]
-                done.sort(key=lambda r: (r.parent != r.id, -r.dp_score))
-                out[ri] = done
+            self._finish_reads(read_regions, codes, out, cs, md)
+
+    def _finish_reads(
+        self,
+        read_regions: List[Tuple[int, List[Region], int]],
+        codes: List[np.ndarray],
+        out: List[List[Region]],
+        cs: bool,
+        md: bool,
+    ) -> None:
+        min_dp = self.opt.min_dp_max
+        for ri, regions, rl in read_regions:
+            # a region survives only if EVERY mid segment aligned
+            # (an empty part would silently drop query/ref span)
+            done = [
+                r
+                for r in regions
+                if hasattr(r, "_mid_parts")
+                and all(x is not None and x[0] for x in r._mid_parts)
+            ]
+            self._finalize(done, codes[ri], cs, md, rep_len=rl)
+            # minimap2's min_dp_max: drop regions whose DP score is
+            # below the floor (the `min_dp_score` ctor kwarg)
+            done = [r for r in done if r.dp_score >= min_dp]
+            done.sort(key=lambda r: (r.parent != r.id, -r.dp_score))
+            out[ri] = done
 
     def _bt_enabled(self) -> bool:
         mode = self.cfg.device_backtrack
@@ -350,8 +407,14 @@ class AlignmentEngine:
 
         stacked, n_dev = _front_end(*fe_args)
         A_opt = min(128, A)
-        arr, n_np = jax.device_get((stacked[:, :, :A_opt], n_dev))
-        n_np = np.asarray(n_np)
+        arr, n2 = jax.device_get((stacked[:, :, :A_opt], n_dev))
+        n2 = np.asarray(n2)
+        n_np, n_raw, rep_len = n2[0], n2[1], n2[2]
+        # observability for the A-budget truncation (minimap2 has no
+        # anchor cap; reads that overflow lose hits silently otherwise)
+        n_over = int((n_raw > A).sum())
+        if n_over:
+            self.metrics.add("anchor_overflow_reads", n_over)
         if int(n_np.max()) > A_opt:
             A_used = min(_pow2_at_least(int(n_np.max())), A)
             arr = np.asarray(stacked[:, :, :A_used])
@@ -364,6 +427,7 @@ class AlignmentEngine:
             "rpos": arr[1],
             "qpos": arr[2],
             "n": n_np,
+            "rep_len": rep_len,
         }
         return anchors_np, arr[3], arr[4]
 
@@ -698,7 +762,12 @@ class AlignmentEngine:
 
     # ------------------------------------------------------------------
     def _finalize(
-        self, regions: List[Region], codes: np.ndarray, cs: bool, md: bool
+        self,
+        regions: List[Region],
+        codes: np.ndarray,
+        cs: bool,
+        md: bool,
+        rep_len: int = 0,
     ) -> None:
         ref = self.index.ref_codes
         offs = self.index.seq_offsets
@@ -725,18 +794,51 @@ class AlignmentEngine:
             roff = int(offs[r.rid])
             qseg = q_al[r.q_st_a : r.q_en_a]
             tseg = ref[roff + r.r_st : roff + r.r_en]
-            r.mlen, r.blen, r.nm = cig.cigar_stats(full, qseg, tseg)
+            # stats + tag strings: C++ fast path, python oracle fallback
+            from .. import native
+
+            st = native.cigar_stats(full, qseg, tseg) if native.available() else None
+            r.mlen, r.blen, r.nm = (
+                st if st is not None else cig.cigar_stats(full, qseg, tseg)
+            )
             if cs:
-                r.cs = cig.gen_cs(full, qseg, tseg)
+                r.cs = (
+                    native.gen_cs(full, qseg, tseg)
+                    if native.available() else None
+                )
+                if r.cs is None:
+                    r.cs = cig.gen_cs(full, qseg, tseg)
             if md:
-                r.md = cig.gen_md(full, qseg, tseg)
+                r.md = (
+                    native.gen_md(full, qseg, tseg)
+                    if native.available() else None
+                )
+                if r.md is None:
+                    r.md = cig.gen_md(full, qseg, tseg)
             # read-forward query coords
             if r.rev == 0:
                 r.qs, r.qe = r.q_st_a, r.q_en_a
             else:
                 r.qs, r.qe = qlen - r.q_en_a, qlen - r.q_st_a
             r.rs, r.re = r.r_st, r.r_en
-        set_mapq(regions, self.opt)
+        # minimap2 re-runs mm_set_parent on ALIGNED coordinates before
+        # mm_set_mapq (extension can shift qs/qe enough to change the
+        # primary/secondary partition) — mirror that here.
+        set_parent(regions, self.opt.mask_level, self.opt.mask_len)
+        # dp_max2: best DP score among each primary's secondaries —
+        # the DP-branch discriminator in mm_set_mapq
+        by_id = {r.id: r for r in regions}
+        for r in regions:
+            r.dp_max2 = 0
+        for r in regions:
+            if r.parent != r.id:
+                parent = by_id.get(r.parent)
+                if parent is not None and r.dp_score > parent.dp_max2:
+                    parent.dp_max2 = r.dp_score
+        set_mapq(
+            regions, self.opt, rep_len=rep_len,
+            is_sr=bool(self.opt.flag & _MM_F_SR),
+        )
 
 
 def _revcomp(codes: np.ndarray) -> np.ndarray:

@@ -82,6 +82,51 @@ def _load() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         ]
     )
+    for fname in ("gen_cs_native", "gen_md_native"):
+        fn = getattr(lib, fname)
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_int,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_char_p,
+            ctypes.c_int64,
+        ]
+    lib.cigar_stats.argtypes = [
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int,
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+    ]
+    lib.front_end_batch.argtypes = [
+        np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),  # keys
+        np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),  # key_off
+        np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),  # positions
+        ctypes.c_int64,  # nk
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),  # reads
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),  # read_off
+        ctypes.c_int32,  # R
+        ctypes.c_int32,  # k
+        ctypes.c_int32,  # w
+        ctypes.c_int32,  # is_hpc
+        ctypes.c_int32,  # mid_occ
+        ctypes.c_int32,  # max_dist_x
+        ctypes.c_int32,  # max_dist_y
+        ctypes.c_int32,  # bw
+        ctypes.c_float,  # chn_pen_gap
+        ctypes.c_float,  # chn_pen_skip
+        ctypes.c_int32,  # max_iter
+        ctypes.c_int32,  # min_cnt
+        ctypes.c_int32,  # min_sc
+        ctypes.c_int32,  # K
+        ctypes.c_int32,  # seg_cuts
+        ctypes.c_int32,  # seg_len
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),  # chains
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),  # rep_len
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),  # n_anchors
+    ]
     lib.fastx_scan.restype = ctypes.c_int64
     lib.fastx_scan.argtypes = [
         ctypes.c_char_p,
@@ -141,6 +186,112 @@ def fastx_parse(data: bytes):
         (blobs[2], offs[2]),
         (blobs[3], offs[3]),
     )
+
+
+def pack_ops(cig) -> np.ndarray:
+    """[(n, op)] -> packed int32 n<<4|op array."""
+    return np.fromiter(
+        ((n << 4) | op for n, op in cig), np.int32, count=len(cig)
+    )
+
+
+def gen_cs(cig, qcodes: np.ndarray, tcodes: np.ndarray) -> Optional[str]:
+    """cs tag via C++; None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    ops = pack_ops(cig)
+    blen = sum(n for n, _ in cig)
+    cap = 4 * blen + 64
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.gen_cs_native(
+        ops, len(ops), np.ascontiguousarray(qcodes, np.uint8),
+        np.ascontiguousarray(tcodes, np.uint8), buf, cap,
+    )
+    if n < 0:
+        return None
+    return buf.raw[: int(n)].decode("ascii")
+
+
+def gen_md(cig, qcodes: np.ndarray, tcodes: np.ndarray) -> Optional[str]:
+    """MD tag via C++; None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    ops = pack_ops(cig)
+    blen = sum(n for n, _ in cig)
+    cap = 4 * blen + 64
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.gen_md_native(
+        ops, len(ops), np.ascontiguousarray(qcodes, np.uint8),
+        np.ascontiguousarray(tcodes, np.uint8), buf, cap,
+    )
+    if n < 0:
+        return None
+    return buf.raw[: int(n)].decode("ascii")
+
+
+def cigar_stats(
+    cig, qcodes: np.ndarray, tcodes: np.ndarray
+) -> Optional[Tuple[int, int, int]]:
+    """(mlen, blen, NM) via C++; None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    ops = pack_ops(cig)
+    out = np.zeros(3, np.int32)
+    lib.cigar_stats(
+        ops, len(ops), np.ascontiguousarray(qcodes, np.uint8),
+        np.ascontiguousarray(tcodes, np.uint8), out,
+    )
+    return int(out[0]), int(out[1]), int(out[2])
+
+
+def front_end_batch(
+    index,  # MinimizerIndex (host arrays)
+    codes_list,  # list of uint8 code arrays
+    mid_occ: int,
+    chain_params,  # ops.chain.ChainParams
+    max_iter: int,
+    min_cnt: int,
+    min_sc: int,
+    K: int,
+    seg_cuts: int,
+    seg_len: int,
+):
+    """CPU front end: sketch+lookup+chain+backtrack for a read batch.
+
+    Returns (chains [R, K, 9+2*seg_cuts] int32 in the
+    backtrack_pallas layout, rep_len [R] int32, n_anchors [R] int32),
+    or None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    R = len(codes_list)
+    read_off = np.zeros(R + 1, np.int64)
+    for i, c in enumerate(codes_list):
+        read_off[i + 1] = read_off[i] + len(c)
+    reads = np.empty(int(read_off[-1]) if R else 1, np.uint8)
+    for i, c in enumerate(codes_list):
+        reads[read_off[i] : read_off[i + 1]] = c
+    FLD = 9 + 2 * seg_cuts
+    chains = np.empty((R, K, FLD), np.int32)
+    rep_len = np.zeros(R, np.int32)
+    n_anchors = np.zeros(R, np.int32)
+    keys = np.ascontiguousarray(index.keys, np.uint64)
+    key_off = np.ascontiguousarray(index.key_offsets, np.uint64)
+    positions = np.ascontiguousarray(index.positions, np.uint64)
+    lib.front_end_batch(
+        keys, key_off, positions, len(keys),
+        reads, read_off, R,
+        index.k, index.w, int(bool(index.flag & 0x1)), int(mid_occ),
+        int(chain_params.max_dist_x), int(chain_params.max_dist_y),
+        int(chain_params.bw), float(chain_params.chn_pen_gap),
+        float(chain_params.chn_pen_skip), int(max_iter),
+        int(min_cnt), int(min_sc), int(K), int(seg_cuts), int(seg_len),
+        chains.reshape(-1), rep_len, n_anchors,
+    )
+    return chains, rep_len, n_anchors
 
 
 def traceback_batch(

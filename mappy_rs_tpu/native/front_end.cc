@@ -1,0 +1,375 @@
+// Native CPU mapping front end: sketch -> seed lookup -> chain ->
+// backtrack, one call per read batch.
+//
+// Two roles in the framework (SURVEY.md §2b N7-N9):
+//  1. the production front end when no TPU is attached (the reference
+//     is CPU-only, so a complete CPU path is part of feature parity);
+//  2. the measured in-environment baseline for bench.py: a
+//     minimap2-class CPU aligner at N threads on the same workload,
+//     replacing the round-1 estimated baseline (VERDICT weak #6).
+//
+// Semantics:
+//  * sketch: exact port of index/sketch_host.py (itself validated
+//    bit-for-bit against the reference's test.mmi), incl. HPC;
+//  * chain: minimap2 mm_chain_dp recurrence with the same comput_sc
+//    (float-bit-trick log2, int truncation) as ops/chain.py, with a
+//    configurable predecessor window (max_iter) and the sorted-rpos
+//    distance break;
+//  * backtrack: mm_chain_backtrack greedy (regions.py semantics) with
+//    the same compact output layout as ops/backtrack_pallas.py, so the
+//    Python pipeline consumes either source identically.
+//
+// GIL note: called through ctypes, so Python worker threads run these
+// loops in parallel.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr uint64_t U64MAX = ~0ULL;
+
+static inline uint64_t hash64(uint64_t key, uint64_t mask) {
+  key = (~key + (key << 21)) & mask;
+  key = key ^ (key >> 24);
+  key = (key + (key << 3) + (key << 8)) & mask;
+  key = key ^ (key >> 14);
+  key = (key + (key << 2) + (key << 4)) & mask;
+  key = key ^ (key >> 28);
+  key = (key + (key << 31)) & mask;
+  return key;
+}
+
+static inline float mg_log2f(float x) {
+  union {
+    float f;
+    int32_t i;
+  } z;
+  z.f = x;
+  int log_2 = ((z.i >> 23) & 255) - 128;
+  z.i &= ~(255 << 23);
+  z.i += 127 << 23;
+  return ((-0.34484843f * z.f + 2.02466578f) * z.f - 0.67487759f) +
+         (float)log_2;
+}
+
+struct Mini {
+  uint64_t key;
+  int32_t pos;   // k-mer END position on the query
+  int32_t strand;
+  int32_t span;
+};
+
+// Exact port of index/sketch_host.py::sketch_host (see its docstring
+// for the emission-rule derivation).
+static void sketch_read(const uint8_t* codes, int L, int k, int w,
+                        bool is_hpc, std::vector<Mini>& out) {
+  out.clear();
+  const uint64_t mask = (k < 32) ? ((1ULL << (2 * k)) - 1) : U64MAX;
+  const int shift1 = 2 * (k - 1);
+  uint64_t kf = 0, kr = 0;
+  int run = 0;
+  struct Item {
+    uint64_t x;
+    uint64_t y;  // pos<<1 | strand
+    int32_t span;
+  };
+  const Item INF{U64MAX, U64MAX, 0};
+  std::vector<Item> buf(w, INF);
+  Item min_item = INF;
+  int min_pos = 0, buf_pos = 0;
+  std::vector<Item> raw;
+  std::vector<int> tq;  // HPC span queue
+  int kmer_span = 0;
+
+  auto push = [&](const Item& it) {
+    if (it.x != U64MAX) raw.push_back(it);
+  };
+
+  for (int i = 0; i < L; ++i) {
+    int c = codes[i];
+    Item info = INF;
+    if (c < 4) {
+      if (is_hpc) {
+        int skip_len = 1;
+        if (i + 1 < L && codes[i + 1] == c) {
+          skip_len = 2;
+          while (i + skip_len < L && codes[i + skip_len] == c) ++skip_len;
+          i += skip_len - 1;  // i -> end of the run
+        }
+        tq.push_back(skip_len);
+        kmer_span += skip_len;
+        if ((int)tq.size() > k) {
+          kmer_span -= tq.front();
+          tq.erase(tq.begin());
+        }
+      } else {
+        kmer_span = std::min(run + 1, k);
+      }
+      kf = ((kf << 2) | (uint64_t)c) & mask;
+      kr = (kr >> 2) | ((uint64_t)(3 - c) << shift1);
+      if (kf == kr) continue;  // strand-ambiguous (even k only)
+      int z = kf < kr ? 0 : 1;
+      ++run;
+      if (run >= k && kmer_span < 256)
+        info = Item{hash64(z == 0 ? kf : kr, mask),
+                    ((uint64_t)i << 1) | (uint64_t)z, kmer_span};
+    } else {
+      run = 0;
+      tq.clear();
+      kmer_span = 0;
+    }
+    buf[buf_pos] = info;
+    if (run == w + k - 1 && min_item.x != U64MAX) {
+      for (int j = buf_pos + 1; j < w; ++j)
+        if (buf[j].x == min_item.x && buf[j].y != min_item.y) push(buf[j]);
+      for (int j = 0; j < buf_pos; ++j)
+        if (buf[j].x == min_item.x && buf[j].y != min_item.y) push(buf[j]);
+    }
+    if (info.x <= min_item.x) {
+      if (run >= w + k && min_item.x != U64MAX) push(min_item);
+      min_item = info;
+      min_pos = buf_pos;
+    } else if (buf_pos == min_pos) {
+      if (run >= w + k - 1 && min_item.x != U64MAX) push(min_item);
+      min_item = INF;
+      for (int j = buf_pos + 1; j < w; ++j)
+        if (min_item.x >= buf[j].x) {
+          min_item = buf[j];
+          min_pos = j;
+        }
+      for (int j = 0; j <= buf_pos; ++j)
+        if (min_item.x >= buf[j].x) {
+          min_item = buf[j];
+          min_pos = j;
+        }
+      if (run >= w + k - 1 && min_item.x != U64MAX) {
+        for (int j = buf_pos + 1; j < w; ++j)
+          if (buf[j].x == min_item.x && buf[j].y != min_item.y) push(buf[j]);
+        for (int j = 0; j < buf_pos; ++j)
+          if (buf[j].x == min_item.x && buf[j].y != min_item.y) push(buf[j]);
+      }
+    }
+    if (++buf_pos == w) buf_pos = 0;
+  }
+  if (min_item.x != U64MAX) push(min_item);
+
+  // dedupe by y, keep first occurrence (sketch_host's `seen` set)
+  std::vector<uint64_t> seen;
+  seen.reserve(raw.size());
+  for (const Item& it : raw) {
+    bool dup = false;
+    for (uint64_t y : seen)
+      if (y == it.y) {
+        dup = true;
+        break;
+      }
+    if (dup) continue;
+    seen.push_back(it.y);
+    out.push_back(Mini{it.x, (int32_t)(it.y >> 1), (int32_t)(it.y & 1),
+                       it.span});
+  }
+}
+
+struct Anchor {
+  int32_t rev, rid, rpos, qpos, span;
+};
+
+struct Chain {
+  int32_t score, cnt, rev, rid, rpos_first, rpos_last, qpos_first,
+      qpos_last, span_first;
+  std::vector<int32_t> cuts;  // (qpos, rpos) pairs, end->start order
+};
+
+}  // namespace
+
+extern "C" {
+
+// Map a batch of reads through the CPU front end.
+//
+// Index arrays are the HOST MinimizerIndex arrays (index/index.py):
+//   keys      uint64 [nk]  sorted unique minimizer hashes
+//   key_off   uint64 [nk+1] prefix offsets into positions
+//   positions uint64 [np]  rid<<32 | pos_end<<1 | strand
+// Reads: concatenated 0..4 codes with int64 [R+1] offsets.
+// Output: per read, chains_out int32 [R, K, 9+2*seg_cuts] in the
+// ops/backtrack_pallas.py layout (-1-filled empty slots), plus
+// rep_len int32 [R] and n_anchors int32 [R].
+void front_end_batch(
+    const uint64_t* keys, const uint64_t* key_off, const uint64_t* positions,
+    int64_t nk, const uint8_t* reads, const int64_t* read_off, int32_t R,
+    int32_t k, int32_t w, int32_t is_hpc, int32_t mid_occ,
+    // chain params
+    int32_t max_dist_x, int32_t max_dist_y, int32_t bw, float chn_pen_gap,
+    float chn_pen_skip, int32_t max_iter,
+    // backtrack params
+    int32_t min_cnt, int32_t min_sc, int32_t K, int32_t seg_cuts,
+    int32_t seg_len,
+    // outputs
+    int32_t* chains_out, int32_t* rep_len_out, int32_t* n_anchors_out) {
+  const int FLD = 9 + 2 * seg_cuts;
+  const int32_t NEG = -(1 << 30);
+  std::vector<Mini> mins;
+  std::vector<Anchor> an;
+  std::vector<int32_t> f, p, used;
+  std::vector<std::pair<int32_t, int32_t>> rep_iv;
+
+  for (int r = 0; r < R; ++r) {
+    const uint8_t* q = reads + read_off[r];
+    int L = (int)(read_off[r + 1] - read_off[r]);
+    int32_t* out_r = chains_out + (int64_t)r * K * FLD;
+    for (int i = 0; i < K * FLD; ++i) out_r[i] = -1;
+    rep_len_out[r] = 0;
+    n_anchors_out[r] = 0;
+    if (L < k) continue;
+    sketch_read(q, L, k, w, is_hpc != 0, mins);
+
+    // ---- seed lookup + anchors + rep_len ----
+    an.clear();
+    rep_iv.clear();
+    for (const Mini& m : mins) {
+      // branchless-ish lower_bound over sorted keys
+      int64_t lo = 0, hi = nk;
+      while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if (keys[mid] < m.key)
+          lo = mid + 1;
+        else
+          hi = mid;
+      }
+      if (lo >= nk || keys[lo] != m.key) continue;
+      int64_t a = (int64_t)key_off[lo], b = (int64_t)key_off[lo + 1];
+      int cnt = (int)(b - a);
+      if (cnt > mid_occ) {
+        rep_iv.push_back({m.pos + 1 - m.span, m.pos + 1});
+        continue;
+      }
+      for (int64_t x = a; x < b; ++x) {
+        uint64_t yv = positions[x];
+        int32_t rid = (int32_t)(yv >> 32);
+        int32_t rpos = (int32_t)((yv & 0xFFFFFFFFu) >> 1);
+        int32_t rstrand = (int32_t)(yv & 1);
+        int32_t rev = m.strand ^ rstrand;
+        int32_t qpos =
+            rev == 0 ? m.pos : (L - (m.pos + 1 - m.span) - 1);
+        an.push_back(Anchor{rev, rid, rpos, qpos, m.span});
+      }
+    }
+    // rep_len: union of filtered intervals (sorted by start)
+    if (!rep_iv.empty()) {
+      std::sort(rep_iv.begin(), rep_iv.end());
+      int32_t st = rep_iv[0].first, en = rep_iv[0].second, total = 0;
+      for (size_t i = 1; i < rep_iv.size(); ++i) {
+        if (rep_iv[i].first > en) {
+          total += en - st;
+          st = rep_iv[i].first;
+          en = rep_iv[i].second;
+        } else if (rep_iv[i].second > en) {
+          en = rep_iv[i].second;
+        }
+      }
+      total += en - st;
+      rep_len_out[r] = total;
+    }
+    int n = (int)an.size();
+    n_anchors_out[r] = n;
+    if (n == 0) continue;
+    std::sort(an.begin(), an.end(), [](const Anchor& a, const Anchor& b) {
+      if (a.rev != b.rev) return a.rev < b.rev;
+      if (a.rid != b.rid) return a.rid < b.rid;
+      if (a.rpos != b.rpos) return a.rpos < b.rpos;
+      return a.qpos < b.qpos;
+    });
+
+    // ---- chaining DP (mm_chain_dp recurrence) ----
+    f.assign(n, 0);
+    p.assign(n, -1);
+    for (int i = 0; i < n; ++i) {
+      const Anchor& ai = an[i];
+      int32_t best = ai.span;  // init = q_span
+      int32_t best_j = -1;
+      int lo_j = i - max_iter < 0 ? 0 : i - max_iter;
+      for (int j = i - 1; j >= lo_j; --j) {
+        const Anchor& aj = an[j];
+        if (aj.rev != ai.rev || aj.rid != ai.rid) break;  // group edge
+        int32_t dr = ai.rpos - aj.rpos;
+        if (dr > max_dist_x) break;  // sorted rpos: all earlier worse
+        int32_t dq = ai.qpos - aj.qpos;
+        if (dq <= 0 || dq > max_dist_x || dq > max_dist_y) continue;
+        if (dr <= 0) continue;
+        int32_t dd = dr > dq ? dr - dq : dq - dr;
+        if (dd > bw) continue;
+        int32_t dg = dr < dq ? dr : dq;
+        int32_t sc = dg < aj.span ? dg : aj.span;
+        if (dd != 0 || dg > aj.span) {
+          float lin = chn_pen_gap * (float)dd + chn_pen_skip * (float)dg;
+          float logp = dd >= 1 ? mg_log2f((float)(dd + 1)) : 0.0f;
+          sc -= (int32_t)(lin + 0.5f * logp);
+        }
+        int32_t tot = f[j] + sc;
+        if (tot > best) {  // strictly greater: largest j wins ties
+          best = tot;
+          best_j = j;
+        }
+      }
+      f[i] = best;
+      p[i] = best_j;
+    }
+
+    // ---- greedy backtrack (mm_chain_backtrack) ----
+    std::vector<int32_t> cand;
+    for (int i = 0; i < n; ++i)
+      if (f[i] >= min_sc) cand.push_back(i);
+    std::sort(cand.begin(), cand.end(), [&](int32_t a, int32_t b) {
+      if (f[a] != f[b]) return f[a] > f[b];
+      return a > b;  // ties: larger index first
+    });
+    used.assign(n, 0);
+    int n_out = 0;
+    for (int32_t end : cand) {
+      if (n_out >= K) break;
+      if (used[end]) continue;
+      // walk
+      int i = end, cnt = 0;
+      int32_t join_f = 0;
+      int32_t q_first = 0, r_first = 0, sp_first = 0;
+      int32_t q_end = an[end].qpos;
+      int32_t next_cut = q_end - seg_len;
+      int n_cuts = 0;
+      int32_t* row = out_r + n_out * FLD;
+      int32_t cuts_tmp[64];
+      while (i >= 0 && !used[i]) {
+        used[i] = 1;
+        q_first = an[i].qpos;
+        r_first = an[i].rpos;
+        sp_first = an[i].span;
+        ++cnt;
+        if (seg_cuts > 0 && an[i].qpos <= next_cut && n_cuts < seg_cuts) {
+          cuts_tmp[2 * n_cuts] = an[i].qpos;
+          cuts_tmp[2 * n_cuts + 1] = an[i].rpos;
+          ++n_cuts;
+          next_cut = an[i].qpos - seg_len;
+        }
+        i = p[i];
+      }
+      int32_t sc = i < 0 ? f[end] : f[end] - f[i];
+      if (cnt >= min_cnt && sc >= min_sc) {
+        row[0] = sc;
+        row[1] = cnt;
+        row[2] = an[end].rev;
+        row[3] = an[end].rid;
+        row[4] = r_first;
+        row[5] = an[end].rpos;
+        row[6] = q_first;
+        row[7] = q_end;
+        row[8] = sp_first;
+        for (int c = 0; c < 2 * n_cuts; ++c) row[9 + c] = cuts_tmp[c];
+        ++n_out;
+      }
+    }
+  }
+}
+
+}  // extern "C"

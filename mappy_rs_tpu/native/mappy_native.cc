@@ -485,6 +485,96 @@ void extend_banded_batch(const uint8_t* qs, const uint8_t* ts,
   }
 }
 
+// cs tag (short form), minimap2 mm_gen_cs semantics; ops are packed
+// len<<4|op.  Returns bytes written, or -1 if cap is too small.
+int64_t gen_cs_native(const int32_t* ops, int n_ops, const uint8_t* q,
+                      const uint8_t* t, char* out, int64_t cap) {
+  static const char LOWER[] = "acgtn";
+  int64_t qi = 0, ti = 0, w = 0;
+  auto put = [&](char c) { if (w < cap) out[w] = c; ++w; };
+  auto put_num = [&](int64_t v) {
+    char tmp[20];
+    int nd = 0;
+    if (v == 0) tmp[nd++] = '0';
+    while (v > 0) { tmp[nd++] = (char)('0' + v % 10); v /= 10; }
+    while (nd > 0) put(tmp[--nd]);
+  };
+  for (int k = 0; k < n_ops; ++k) {
+    int op = ops[k] & 0xF;
+    int n = ops[k] >> 4;
+    if (op == 0) {
+      int run = 0;
+      for (int x = 0; x < n; ++x) {
+        uint8_t qc = q[qi + x], tc = t[ti + x];
+        if (qc == tc && qc < 4) {
+          ++run;
+        } else {
+          if (run) { put(':'); put_num(run); run = 0; }
+          put('*');
+          put(LOWER[tc > 4 ? 4 : tc]);
+          put(LOWER[qc > 4 ? 4 : qc]);
+        }
+      }
+      if (run) { put(':'); put_num(run); }
+      qi += n;
+      ti += n;
+    } else if (op == 1) {
+      put('+');
+      for (int x = 0; x < n; ++x) put(LOWER[q[qi + x] > 4 ? 4 : q[qi + x]]);
+      qi += n;
+    } else {
+      put('-');
+      for (int x = 0; x < n; ++x) put(LOWER[t[ti + x] > 4 ? 4 : t[ti + x]]);
+      ti += n;
+    }
+  }
+  return w <= cap ? w : -1;
+}
+
+// MD tag (SAM spec), minimap2 mm_gen_MD semantics.
+int64_t gen_md_native(const int32_t* ops, int n_ops, const uint8_t* q,
+                      const uint8_t* t, char* out, int64_t cap) {
+  static const char UPPER[] = "ACGTN";
+  int64_t qi = 0, ti = 0, w = 0;
+  auto put = [&](char c) { if (w < cap) out[w] = c; ++w; };
+  auto put_num = [&](int64_t v) {
+    char tmp[20];
+    int nd = 0;
+    if (v == 0) tmp[nd++] = '0';
+    while (v > 0) { tmp[nd++] = (char)('0' + v % 10); v /= 10; }
+    while (nd > 0) put(tmp[--nd]);
+  };
+  int64_t run = 0;
+  for (int k = 0; k < n_ops; ++k) {
+    int op = ops[k] & 0xF;
+    int n = ops[k] >> 4;
+    if (op == 0) {
+      for (int x = 0; x < n; ++x) {
+        uint8_t qc = q[qi + x], tc = t[ti + x];
+        if (qc == tc && qc < 4) {
+          ++run;
+        } else {
+          put_num(run);
+          put(UPPER[tc > 4 ? 4 : tc]);
+          run = 0;
+        }
+      }
+      qi += n;
+      ti += n;
+    } else if (op == 1) {
+      qi += n;
+    } else {
+      put_num(run);
+      run = 0;
+      put('^');
+      for (int x = 0; x < n; ++x) put(UPPER[t[ti + x] > 4 ? 4 : t[ti + x]]);
+      ti += n;
+    }
+  }
+  put_num(run);
+  return w <= cap ? w : -1;
+}
+
 // CIGAR statistics: mlen (exact matches), blen (M+I+D), NM.
 void cigar_stats(const int32_t* ops, int n_ops, const uint8_t* q,
                  const uint8_t* t, int32_t* out) {

@@ -104,20 +104,61 @@ def collect_anchors(
         & (key_lo[idx_c] == q_lo)
         & (mins["pos"] >= 0)
     )
-    cnt = jnp.where(found, counts[idx_c], 0)
+    cnt_raw = jnp.where(found, counts[idx_c], 0)
     # seed occurrence filter (mm_mapopt_update's mid_occ, SURVEY §2b N4)
-    cnt = jnp.where(cnt > mid_occ, 0, cnt)
+    cnt = jnp.where(cnt_raw > mid_occ, 0, cnt_raw)
+    # rep_len: union length of query intervals covered by occ-filtered
+    # seeds (mm_collect_matches' rep_st/rep_en accounting) — feeds the
+    # mapq uniq_ratio attenuation.  Minimizer slots are in ascending
+    # end-position order, so the union reduces to an exclusive cummax.
+    span_arr = (
+        mins["span"].astype(_I32) if "span" in mins
+        else jnp.full_like(mins["pos"], span)
+    )
+    filt = found & (cnt_raw > mid_occ)
+    en_f = jnp.where(filt, mins["pos"] + 1, 0)
+    prev_en = jnp.concatenate(
+        [jnp.zeros((B, 1), _I32),
+         jax.lax.cummax(en_f, axis=1)[:, :-1]], axis=1
+    )
+    st_f = mins["pos"] + 1 - span_arr
+    contrib = jnp.maximum(en_f - jnp.maximum(st_f, prev_en), 0)
+    rep_len = jnp.sum(jnp.where(filt, contrib, 0), axis=1)
     if q_occ_frac > 0.0:
         # query-side repeat filter (mm_seed_mz_flt analogue): drop
-        # minimizers over-represented WITHIN the read itself
+        # minimizers over-represented WITHIN the read itself.
+        # O(M log M) sort-and-count (the naive [B,M,M] equality
+        # broadcast is an O(M^2) VMEM/compile hazard on long buckets):
+        # sort (hi, lo) per read, measure each equal-run's length, then
+        # unsort the run lengths back to slot order.
         slot_valid = mins["pos"] >= 0
-        eq = (
-            (q_hi[:, :, None] == q_hi[:, None, :])
-            & (q_lo[:, :, None] == q_lo[:, None, :])
-            & slot_valid[:, :, None]
-            & slot_valid[:, None, :]
+        pos_iota = jnp.broadcast_to(jnp.arange(M, dtype=_I32)[None, :], (B, M))
+        # invalid slots -> max sentinel so they group at the end
+        vhi = jnp.where(slot_valid, q_hi, _U32(0xFFFFFFFF))
+        vlo = jnp.where(slot_valid, q_lo, _U32(0xFFFFFFFF))
+        s_hi, s_lo, s_idx = jax.lax.sort(
+            (vhi, vlo, pos_iota), dimension=1, num_keys=2
         )
-        q_cnt = jnp.sum(eq, axis=2)
+        first = jnp.concatenate(
+            [
+                jnp.ones((B, 1), bool),
+                (s_hi[:, 1:] != s_hi[:, :-1])
+                | (s_lo[:, 1:] != s_lo[:, :-1]),
+            ],
+            axis=1,
+        )
+        last = jnp.concatenate([first[:, 1:], jnp.ones((B, 1), bool)], axis=1)
+        seg_start = jax.lax.cummax(
+            jnp.where(first, pos_iota, 0), axis=1
+        )
+        seg_end = jnp.flip(
+            jax.lax.cummin(
+                jnp.flip(jnp.where(last, pos_iota + 1, M), axis=1), axis=1
+            ),
+            axis=1,
+        )
+        run_len = seg_end - seg_start
+        _, q_cnt = jax.lax.sort((s_idx, run_len), dimension=1, num_keys=1)
         n_mins = jnp.sum(slot_valid, axis=1, keepdims=True)
         q_thresh = jnp.maximum(
             (n_mins.astype(jnp.float32) * q_occ_frac).astype(_I32), 10
@@ -173,4 +214,10 @@ def collect_anchors(
         "valid": srt[4].astype(bool),
         "span": srt[5],
         "n": n_anchors,
+        # pre-truncation hit total: lets callers observe reads whose
+        # seed hits overflowed the A budget (minimap2 has no such cap,
+        # so silent truncation must at least be measurable)
+        "n_raw": prefix[:, -1],
+        # per-read repetitive seed coverage (mapq attenuation input)
+        "rep_len": rep_len,
     }

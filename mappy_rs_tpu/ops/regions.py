@@ -40,6 +40,7 @@ class Region:
     # filled by extension:
     dp_score: int = 0
     dp_max: int = 0
+    dp_max2: int = 0  # best DP score among this primary's secondaries
     cigar: Optional[List[Tuple[int, int]]] = None
     q_st_a: int = 0  # aligned coords in aligned-query space
     q_en_a: int = 0
@@ -245,35 +246,60 @@ def select_sub(
     return out
 
 
-def set_mapq(regions: List[Region], opt: MapOptions) -> None:
-    """minimap2-style mapq (mm_set_mapq semantics, paper formula).
+def set_mapq(
+    regions: List[Region],
+    opt: MapOptions,
+    rep_len: int = 0,
+    is_sr: bool = False,
+) -> None:
+    """mm_set_mapq semantics (minimap2 map.c; behind
+    /root/reference/src/lib.rs:493-509 via the C core).
 
-    mapq = 40 * (1 - f2/f1) * min(1, m/10) * ln(f1), attenuated for
-    low-score/low-count chains, clamped to [0, 60]; secondaries get 0
-    (255 would mean missing).  NB: exact parity with minimap2's mapq
-    is not contractual — the reference forwards whatever the C core
-    computed, and its tests never assert mapq values.
+    Structure mirrored from the C function:
+      * uniq_ratio = sum(primary chain scores) / (sum + rep_len) —
+        reads whose seeds fell in occ-filtered repeats get attenuated;
+      * pen_s1 = (score>100 ? 1 : 0.01*score) * uniq_ratio,
+        pen_cm = (cnt>10 ? 1 : 0.1*cnt), pen = min of the two;
+      * DP branch (alignment available): mapq = identity * pen *
+        40 * (1 - dp_max2/dp_max) * ln(score), identity = mlen/blen,
+        dp_max2 = best DP score among this primary's secondaries;
+      * chain-only branch: mapq = pen * 40 * (1 - subsc/score) *
+        ln(score) with subsc floored at min_chain_score;
+      * multi-secondary penalty: mapq -= 4.343*ln(n_sub+1)+0.499;
+      * clamp [0, 60]; non-primaries get 0.
+    No minimap2 oracle exists in this environment, so parity is
+    structural (formula shape + inputs), asserted by unit tests on the
+    monotonicity/attenuation properties rather than golden values.
     """
     q_coef = 40.0
+    sum_sc = sum(r.score for r in regions if r.parent == r.id)
+    uniq_ratio = (
+        float(sum_sc) / float(sum_sc + rep_len) if sum_sc + rep_len > 0
+        else 1.0
+    )
     for r in regions:
-        if r.parent != r.id:
+        if r.parent != r.id or r.score <= 0:
             r.mapq = 0
             continue
-        if r.score <= 0:
-            r.mapq = 0
-            continue
-        pen_s1 = 1.0 if r.score > 100 else 0.01 * r.score
+        pen_s1 = (1.0 if r.score > 100 else 0.01 * r.score) * uniq_ratio
         pen_cm = 1.0 if r.cnt > 10 else 0.1 * r.cnt
         pen = min(pen_s1, pen_cm)
         subsc = max(r.subsc, opt.min_chain_score)
-        if r.dp_max > 0 and r.dp_score > 0:
-            # use DP scores when alignment was performed
-            f1 = float(r.dp_max)
-            sub = max(float(r.subsc) * opt.a, float(opt.min_chain_score * opt.a))
-            x = sub / f1 if f1 > 0 else 1.0
+        log_sc = math.log(r.score) if r.score > 1 else 0.0
+        if r.dp_max > 0 and r.dp_max2 > 0:
+            identity = float(r.mlen) / r.blen if r.blen > 0 else 0.0
+            x = min(float(r.dp_max2) / r.dp_max, 1.0)
+            mapq = int(identity * pen * q_coef * (1.0 - x) * log_sc)
+        elif r.dp_max > 0:
+            identity = float(r.mlen) / r.blen if r.blen > 0 else 0.0
+            x = float(subsc) / r.score
+            mapq = int(identity * pen * q_coef * (1.0 - x) * log_sc)
         else:
-            f1 = float(r.score)
-            x = float(subsc) / f1
-        mapq = int(pen * q_coef * (1.0 - x) * math.log(f1)) if f1 > 1 else 0
+            x = float(subsc) / r.score
+            mapq = int(pen * q_coef * (1.0 - x) * log_sc)
+        if r.n_sub > 0:
+            mapq -= int(4.343 * math.log(r.n_sub + 1) + 0.499)
         mapq = max(0, min(60, mapq))
+        if is_sr and r.score > subsc and mapq < 1:
+            mapq = 1  # unique short-read hits never report 0
         r.mapq = mapq

@@ -95,6 +95,14 @@ def shard_index_by_key_range(
     ref_pad = ((len(index.ref_codes) + 127) // 128 + 1) * 128
     ref = np.full(ref_pad, 4, np.uint8)
     ref[: len(index.ref_codes)] = index.ref_codes
+    # seq_offsets rides to device as int32: past 2^31 bp the
+    # concatenated-reference coordinates (diag_start, ext_end_t) would
+    # silently wrap.  Refuse until per-shard offset rebasing lands.
+    if int(index.seq_offsets[-1]) >= 2**31:
+        raise OverflowError(
+            "total reference length exceeds 2^31 bp; int32 device "
+            "offsets would overflow in the sharded map step"
+        )
     return {
         "key_hi": key_hi,
         "key_lo": key_lo,

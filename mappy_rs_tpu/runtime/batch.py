@@ -131,6 +131,9 @@ class WorkerPool:
                 f"Full {id_num}, Attempts: 6",
                 file=sys.stderr,
             )
+            # the read is dropped (reference parity) — reclaim its
+            # stashed data dict so long-lived iterators don't leak
+            sink.data.pop(id_num, None)
         else:
             raise RuntimeError(
                 f"Internal error adding data to work queue, without backoff. "

@@ -70,7 +70,7 @@ def read_fasta_codes(path: str):
     for i in range(len(hdr_starts)):
         s, e = int(bounds[i]), int(bounds[i + 1])
         # header line = up to first newline
-        nl_pos = s + int(np.argmax(raw[s : min(s + 1 << 16, e)] == 10))
+        nl_pos = s + int(np.argmax(raw[s : min(s + (1 << 16), e)] == 10))
         header = raw[s + 1 : nl_pos].tobytes().decode("ascii", "replace")
         name = header.split()[0] if header.split() else ""
         seg = raw[nl_pos + 1 : e]
