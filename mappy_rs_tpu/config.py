@@ -246,12 +246,26 @@ class AlignerConfig:
     # chaining block size C (mm's max_chain_iter analogue; predecessor
     # reach is [1, 2C) anchors back in the block max-plus DP)
     chain_window: int = 32
-    # extension engine: "auto" | "device" | "host".  The Mosaic device
-    # kernel is bit-identical to the C++ host kernel; "auto" prefers
-    # host when the native lib is built because the traceback tensor
-    # must cross device->host and tunnel-attached dev chips download
-    # at <1MB/s.  On real pods with local PCIe/ICI use "device".
-    extension_backend: str = "auto"
+    # Mosaic chain kernel predecessor window (rounded up to a multiple
+    # of 128); repeat-dense references can need >128 — see
+    # tests/test_chain_window.py.  Cost is linear in the window.
+    pallas_chain_window: int = 128
+    # extension engine: "auto" | "host" | "device" | "device_dl".
+    #   host      — C++ banded DP + walk (bit-identical to the kernels)
+    #   device    — fully device-resident: Mosaic DP kernel + Mosaic
+    #               traceback kernel (ops/traceback_pallas.py); only
+    #               the packed CIGAR table crosses the link
+    #   device_dl — Mosaic DP kernel, dirs tensor downloaded, host walk
+    #   auto      — host when the native lib is built, else device_dl
+    # Overridable per-process with MAPPY_RS_TPU_EXTENSION.
+    extension_backend: str = field(
+        default_factory=lambda: os.environ.get(
+            "MAPPY_RS_TPU_EXTENSION", "auto"
+        )
+    )
+    # [J, OPS] CIGAR table width for the device traceback (jobs whose
+    # run-length CIGAR overflows re-run on the host engine)
+    traceback_max_ops: int = 128
     # chain backtracking: "auto" | "on" | "off".  "on" runs the Mosaic
     # backtrack kernel (ops/backtrack_pallas.py) so only a compact
     # [B, K*FLD] chain summary crosses device->host instead of the full

@@ -57,14 +57,14 @@ import jax.numpy as jnp  # noqa: E402
     jax.jit,
     static_argnames=(
         "k", "w", "M", "A", "chain_params", "chain_window", "use_pallas",
-        "q_occ_frac",
+        "q_occ_frac", "pallas_window",
     ),
 )
 def _front_end(
     codes, lens, sk_lens, hpc_force, hpc_pos_map, hpc_spans,
     key_hi, key_lo, offsets, counts, pos_rid, pos_ps,
     n_keys, mid_occ, k, w, M, A, chain_params, chain_window, use_pallas,
-    q_occ_frac=0.0,
+    q_occ_frac=0.0, pallas_window=128,
 ):
     """Fused sketch -> seed lookup -> chain: ONE device dispatch per
     batch (the per-call tunnel latency on the dev setup is ~50-100ms,
@@ -81,7 +81,7 @@ def _front_end(
         n_keys, mid_occ, A, k, q_occ_frac,
     )
     if use_pallas:
-        f, p = chain_scores_pallas(anchors, chain_params)
+        f, p = chain_scores_pallas(anchors, chain_params, pallas_window)
     else:
         f, p = chain_scores_block(anchors, chain_params, chain_window)
     # pack for ONE device->host transfer (downloads are the scarce
@@ -106,13 +106,14 @@ def _front_end(
     static_argnames=(
         "k", "w", "M", "A", "chain_params", "chain_window", "use_pallas",
         "q_occ_frac", "bt_k", "bt_cuts", "min_cnt", "min_sc",
+        "pallas_window",
     ),
 )
 def _front_end_bt(
     codes, lens, sk_lens, hpc_force, hpc_pos_map, hpc_spans,
     key_hi, key_lo, offsets, counts, pos_rid, pos_ps,
     n_keys, mid_occ, k, w, M, A, chain_params, chain_window, use_pallas,
-    q_occ_frac, bt_k, bt_cuts, min_cnt, min_sc,
+    q_occ_frac, bt_k, bt_cuts, min_cnt, min_sc, pallas_window=128,
 ):
     """_front_end + on-device chain backtracking: the whole seeding and
     chaining path runs in one dispatch and only the compact
@@ -129,12 +130,29 @@ def _front_end_bt(
         n_keys, mid_occ, A, k, q_occ_frac,
     )
     if use_pallas:
-        f, p = chain_scores_pallas(anchors, chain_params)
+        f, p = chain_scores_pallas(anchors, chain_params, pallas_window)
     else:
         f, p = chain_scores_block(anchors, chain_params, chain_window)
     return backtrack_chains_pallas(
         anchors, f, p, bt_k, bt_cuts, min_cnt, min_sc
     ), anchors["rep_len"]
+
+
+def _decode_front_end(arr: np.ndarray, n_np, rep_len):
+    """Python fallback decode of the packed [5, B, A] front-end stack
+    into the anchors dict consumed by ops/regions.backtrack_chains."""
+    meta = arr[0]
+    anchors_np = {
+        "rev": (meta >> 30) & 1,
+        "valid": ((meta >> 29) & 1).astype(bool),
+        "span": (meta >> 21) & 255,
+        "rid": meta & ((1 << 21) - 1),
+        "rpos": arr[1],
+        "qpos": arr[2],
+        "n": n_np,
+        "rep_len": rep_len,
+    }
+    return anchors_np, arr[3], arr[4]
 
 
 @dataclass
@@ -250,6 +268,7 @@ class AlignmentEngine:
         out: List[List[Region]],
         cs: bool,
         md: bool,
+        a_boost: int = 1,
     ) -> None:
         import jax.numpy as jnp
 
@@ -265,7 +284,8 @@ class AlignmentEngine:
         B = 8 if B_real <= 8 else full_B
         M = max(64, L // max(w // 2, 1))
         A = max(256, int(L * self.cfg.anchors_per_base))
-        A = _pow2_at_least(A)
+        A = _pow2_at_least(A) * a_boost
+        overflow_reads: List[int] = []
         for chunk_start in range(0, B_real, B):
             chunk = idxs[chunk_start : chunk_start + B]
             batch = np.full((B, L), 4, np.uint8)
@@ -319,27 +339,43 @@ class AlignmentEngine:
             )
             use_bt = self._bt_enabled()
             chains_np = anchors_np = f = p = None
+            from .. import native
+
             rep_len = None
+            native_bt = False
+            bt_cuts = min(8, L // self.SEG_LEN)
             if use_bt:
                 with self.metrics.timer("front_end"):
-                    bt_cuts = min(8, L // self.SEG_LEN)
                     chains_np, rep_len = jax.device_get(_front_end_bt(
                         *fe_args, self.cfg.backtrack_k, bt_cuts,
                         self.opt.min_cnt, self.opt.min_chain_score,
+                        pallas_window=self.cfg.pallas_chain_window,
                     ))
                     chains_np = np.asarray(chains_np)
                     rep_len = np.asarray(rep_len)
             else:
                 with self.metrics.timer("front_end"):
-                    anchors_np, f, p = self._front_end_full(fe_args, A)
+                    arr, n_np, rep_len, n_raw = self._front_end_full(
+                        fe_args, A
+                    )
+                for bi in np.nonzero(n_raw[: len(chunk)] > A)[0]:
+                    overflow_reads.append(chunk[int(bi)])
+                if native.available():
+                    # C++ greedy backtrack straight off the packed
+                    # download (no python meta-decode, no per-read walk)
+                    chains_np = native.backtrack_compact_batch(
+                        arr, self.opt.min_cnt, self.opt.min_chain_score,
+                        self.cfg.backtrack_k, bt_cuts, self.SEG_LEN,
+                    )
+                    native_bt = chains_np is not None
+                if not native_bt:
+                    anchors_np, f, p = _decode_front_end(arr, n_np, rep_len)
 
-            if rep_len is None:
-                rep_len = anchors_np["rep_len"]
             jobs: List[_ExtJob] = []
             read_regions: List[Tuple[int, List[Region], int]] = []
             for bi, ri in enumerate(chunk):
                 qlen = int(lens[bi])
-                if use_bt:
+                if use_bt or native_bt:
                     regions = regions_from_compact(
                         chains_np[bi], qlen, k
                     )
@@ -356,6 +392,15 @@ class AlignmentEngine:
 
             self._run_jobs(jobs)
             self._finish_reads(read_regions, codes, out, cs, md)
+
+        if overflow_reads and a_boost < 16:
+            # reads whose seed hits overflowed the A budget were mapped
+            # from a truncated anchor set (minimap2 has no such cap) —
+            # remap them with a 4x budget, overwriting their results
+            self.metrics.add("anchor_overflow_retries", len(overflow_reads))
+            self._map_bucket(
+                L, overflow_reads, codes, out, cs, md, a_boost * 4
+            )
 
     def _finish_reads(
         self,
@@ -402,10 +447,14 @@ class AlignmentEngine:
         Trims the transfer to the anchors actually present:
         optimistically fetches the first 128 slots together with the
         counts (one pipelined device_get) and refetches wider only
-        when some read actually has more anchors."""
+        when some read actually has more anchors.  Returns the RAW
+        [5, B, A'] stack (meta, rpos, qpos, f, p) — the C++ backtrack
+        consumes it directly without a python decode."""
         import jax
 
-        stacked, n_dev = _front_end(*fe_args)
+        stacked, n_dev = _front_end(
+            *fe_args, pallas_window=self.cfg.pallas_chain_window
+        )
         A_opt = min(128, A)
         arr, n2 = jax.device_get((stacked[:, :, :A_opt], n_dev))
         n2 = np.asarray(n2)
@@ -418,18 +467,7 @@ class AlignmentEngine:
         if int(n_np.max()) > A_opt:
             A_used = min(_pow2_at_least(int(n_np.max())), A)
             arr = np.asarray(stacked[:, :, :A_used])
-        meta = arr[0]
-        anchors_np = {
-            "rev": (meta >> 30) & 1,
-            "valid": ((meta >> 29) & 1).astype(bool),
-            "span": (meta >> 21) & 255,
-            "rid": meta & ((1 << 21) - 1),
-            "rpos": arr[1],
-            "qpos": arr[2],
-            "n": n_np,
-            "rep_len": rep_len,
-        }
-        return anchors_np, arr[3], arr[4]
+        return np.asarray(arr), n_np, rep_len, n_raw
 
     # ------------------------------------------------------------------
     def _make_jobs(
@@ -533,7 +571,7 @@ class AlignmentEngine:
         native_ok = native.available()
         backend = self.cfg.extension_backend
         if backend == "auto":
-            backend = "host" if native_ok else "device"
+            backend = "host" if native_ok else "device_dl"
         if backend == "host" and native_ok:
             self._run_jobs_host(jobs)
             return
@@ -586,6 +624,37 @@ class AlignmentEngine:
                     ql[ji] = len(job.q)
                     tl[ji] = len(job.t)
                 import jax
+
+                if backend == "device":
+                    # fully device-resident: DP + traceback on chip,
+                    # only the packed CIGAR table is downloaded
+                    from ..ops.extend_pallas import extend_traceback_device
+
+                    mode = np.asarray(
+                        [0 if j.kind == "mid" else 1 for j in sub]
+                        + [1] * (J - len(sub)),
+                        np.int32,
+                    )
+                    with self.metrics.timer("extend"):
+                        res_f = extend_traceback_device(
+                            q, t, ql, tl, mode, W, self._ext_params,
+                            self.opt.end_bonus,
+                            max_ops=self.cfg.traceback_max_ops,
+                        )
+                        self.metrics.add(
+                            "dp_cells",
+                            float(len(sub)) * (QMAX + TMAX - 1) * W,
+                        )
+                    retry = self._apply_fused_results(sub, res_f)
+                    if retry:
+                        # ops-table overflow (indel-dense outliers):
+                        # re-run those through the host engine
+                        if native_ok:
+                            self._run_jobs_host(retry)
+                        else:
+                            for job in retry:
+                                self._store_empty(job)
+                    continue
 
                 with self.metrics.timer("extend"):
                     if jax.default_backend() == "tpu":
@@ -666,6 +735,44 @@ class AlignmentEngine:
                             job.region, f"_{job.kind}",
                             (c, sc, s_i + 1, s_j + 1),
                         )
+
+    def _apply_fused_results(
+        self, sub: List[_ExtJob], res: Dict[str, np.ndarray]
+    ) -> List[_ExtJob]:
+        """Store per-job results of the device-resident traceback;
+        returns jobs whose CIGAR overflowed the [J, OPS] table (the
+        caller re-runs them on the host engine)."""
+        ops_tab = res["ops"]
+        info = res["info"]
+        retry: List[_ExtJob] = []
+        for ji, job in enumerate(sub):
+            row = info[ji]
+            n_o, fi, fj, sc = int(row[0]), int(row[1]), int(row[2]), int(row[3])
+            started, ovf = int(row[4]), int(row[5])
+            si0, sj0 = int(row[6]), int(row[7])
+            if ovf:
+                retry.append(job)
+                continue
+            if not started:
+                self._store_empty(job)
+                continue
+            parts: List[Tuple[int, int]] = []
+            # leading border gaps (the host walk emits these after the
+            # in-band walk and reverses; reversed order is D then I)
+            if fj >= 0:
+                parts.append((fj + 1, 2))
+            if fi >= 0:
+                parts.append((fi + 1, 1))
+            raw = ops_tab[ji, :n_o][::-1]
+            parts.extend((int(v) >> 4, int(v) & 0xF) for v in raw)
+            c = cig.merge_cigars([parts])
+            if job.kind == "mid":
+                job.region._mid_parts[job.seg] = (c, sc)  # type: ignore[attr-defined]
+            else:
+                setattr(
+                    job.region, f"_{job.kind}", (c, sc, si0 + 1, sj0 + 1)
+                )
+        return retry
 
     def _run_jobs_host(self, jobs: List[_ExtJob]) -> None:
         """All extension jobs through the C++ banded DP (bit-identical

@@ -127,6 +127,11 @@ def _load() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),  # rep_len
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),  # n_anchors
     ]
+    lib.backtrack_compact_batch.argtypes = (
+        [np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")] * 5
+        + [ctypes.c_int32] * 7
+        + [np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
+    )
     lib.fastx_scan.restype = ctypes.c_int64
     lib.fastx_scan.argtypes = [
         ctypes.c_char_p,
@@ -186,6 +191,33 @@ def fastx_parse(data: bytes):
         (blobs[2], offs[2]),
         (blobs[3], offs[3]),
     )
+
+
+def backtrack_compact_batch(
+    arr: np.ndarray,  # [5, B, A] int32: meta, rpos, qpos, f, p
+    min_cnt: int,
+    min_sc: int,
+    K: int,
+    seg_cuts: int,
+    seg_len: int,
+) -> Optional[np.ndarray]:
+    """Greedy chain backtrack over downloaded f/p arrays (C++).
+
+    Returns [B, K, 9+2*seg_cuts] compact chain rows (the
+    backtrack_pallas layout), or None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    _, B, A = arr.shape
+    FLD = 9 + 2 * seg_cuts
+    out = np.empty((B, K, FLD), np.int32)
+    a = np.ascontiguousarray(arr)
+    lib.backtrack_compact_batch(
+        a[0], a[1], a[2], a[3], a[4], B, A,
+        int(min_cnt), int(min_sc), int(K), int(seg_cuts), int(seg_len),
+        out.reshape(-1),
+    )
+    return out
 
 
 def pack_ops(cig) -> np.ndarray:

@@ -372,4 +372,81 @@ void front_end_batch(
   }
 }
 
+// Greedy chain backtrack over the DOWNLOADED device f/p arrays
+// (mm_chain_backtrack, same semantics as the in-file walk above and as
+// ops/regions.py backtrack_chains + gen_regions fused): replaces the
+// per-read Python walk on the TPU path's host side.
+//   meta  int32 [B,A]: rev<<30 | valid<<29 | span<<21 | rid
+//   rpos, qpos, f, p  int32 [B,A]
+// Output: chains_out int32 [B, K, 9+2*seg_cuts], -1-filled, same
+// layout as front_end_batch / ops/backtrack_pallas.py.
+void backtrack_compact_batch(const int32_t* meta, const int32_t* rpos,
+                             const int32_t* qpos, const int32_t* f,
+                             const int32_t* p, int32_t B, int32_t A,
+                             int32_t min_cnt, int32_t min_sc, int32_t K,
+                             int32_t seg_cuts, int32_t seg_len,
+                             int32_t* chains_out) {
+  const int FLD = 9 + 2 * seg_cuts;
+  std::vector<int32_t> cand;
+  std::vector<uint8_t> used((size_t)A);
+  for (int b = 0; b < B; ++b) {
+    const int32_t* mt = meta + (int64_t)b * A;
+    const int32_t* rp = rpos + (int64_t)b * A;
+    const int32_t* qp = qpos + (int64_t)b * A;
+    const int32_t* fb = f + (int64_t)b * A;
+    const int32_t* pb = p + (int64_t)b * A;
+    int32_t* out_b = chains_out + (int64_t)b * K * FLD;
+    for (int i = 0; i < K * FLD; ++i) out_b[i] = -1;
+    cand.clear();
+    for (int i = 0; i < A; ++i)
+      if (((mt[i] >> 29) & 1) && fb[i] >= min_sc) cand.push_back(i);
+    if (cand.empty()) continue;
+    std::sort(cand.begin(), cand.end(), [&](int32_t x, int32_t y) {
+      if (fb[x] != fb[y]) return fb[x] > fb[y];
+      return x > y;
+    });
+    std::fill(used.begin(), used.end(), 0);
+    int n_out = 0;
+    for (int32_t end : cand) {
+      if (n_out >= K) break;
+      if (used[end]) continue;
+      int i = end, cnt = 0;
+      int32_t q_first = 0, r_first = 0, sp_first = 0;
+      int32_t q_end = qp[end];
+      int32_t next_cut = q_end - seg_len;
+      int n_cuts = 0;
+      int32_t cuts_tmp[64];
+      while (i >= 0 && !used[i]) {
+        used[i] = 1;
+        q_first = qp[i];
+        r_first = rp[i];
+        sp_first = (mt[i] >> 21) & 255;
+        ++cnt;
+        if (seg_cuts > 0 && qp[i] <= next_cut && n_cuts < seg_cuts) {
+          cuts_tmp[2 * n_cuts] = qp[i];
+          cuts_tmp[2 * n_cuts + 1] = rp[i];
+          ++n_cuts;
+          next_cut = qp[i] - seg_len;
+        }
+        i = pb[i];
+      }
+      int32_t sc = i < 0 ? fb[end] : fb[end] - fb[i];
+      if (cnt >= min_cnt && sc >= min_sc) {
+        int32_t* row = out_b + n_out * FLD;
+        row[0] = sc;
+        row[1] = cnt;
+        row[2] = (mt[end] >> 30) & 1;
+        row[3] = mt[end] & ((1 << 21) - 1);
+        row[4] = r_first;
+        row[5] = rp[end];
+        row[6] = q_first;
+        row[7] = q_end;
+        row[8] = sp_first;
+        for (int c = 0; c < 2 * n_cuts; ++c) row[9 + c] = cuts_tmp[c];
+        ++n_out;
+      }
+    }
+  }
+}
+
 }  // extern "C"

@@ -49,9 +49,12 @@ def _mg_log2_f32(x):
     )
 
 
-def _make_kernel(B: int, params: ChainParams):
+def _make_kernel(B: int, params: ChainParams, R: int = 1):
+    """R = history blocks: the predecessor window is R*128 anchors
+    (minimap2's max_chain_iter analogue; R=1 == the round-1 kernel)."""
     p = params
     q_span = p.q_span
+    WIN = (R + 1) * C  # R history blocks + the current block
 
     def kernel(rev_ref, rid_ref, rpos_ref, qpos_ref, valid_ref, span_ref,
                f_out, p_out, f_scr):
@@ -59,28 +62,29 @@ def _make_kernel(B: int, params: ChainParams):
 
         @pl.when(b == 0)
         def _():
-            f_scr[:, :] = jnp.full((B, C), NEG_INF, _I32)
+            f_scr[:, :] = jnp.full((B, R * C), NEG_INF, _I32)
 
         start = pl.multiple_of(b * C, C)  # padded window start
         win = {
-            "rev": rev_ref[:, pl.ds(start, 2 * C)],
-            "rid": rid_ref[:, pl.ds(start, 2 * C)],
-            "rpos": rpos_ref[:, pl.ds(start, 2 * C)],
-            "qpos": qpos_ref[:, pl.ds(start, 2 * C)],
-            "valid": valid_ref[:, pl.ds(start, 2 * C)],
-            "span": span_ref[:, pl.ds(start, 2 * C)],
+            "rev": rev_ref[:, pl.ds(start, WIN)],
+            "rid": rid_ref[:, pl.ds(start, WIN)],
+            "rpos": rpos_ref[:, pl.ds(start, WIN)],
+            "qpos": qpos_ref[:, pl.ds(start, WIN)],
+            "valid": valid_ref[:, pl.ds(start, WIN)],
+            "span": span_ref[:, pl.ds(start, WIN)],
         }
-        f_prev = f_scr[:, :]  # [B, C] final scores of previous block
-        lane2 = jax.lax.broadcasted_iota(_I32, (B, 2 * C), 1)
+        f_prev = f_scr[:, :]  # [B, R*C] final scores of prior blocks
+        lane2 = jax.lax.broadcasted_iota(_I32, (B, WIN), 1)
         lane1 = jax.lax.broadcasted_iota(_I32, (B, C), 1)
-        anchor_base = b * C - C  # absolute index of window lane 0
+        anchor_base = b * C - R * C  # absolute index of window lane 0
 
         def body(i, carry):
             f_cur, p_cur = carry  # [B, C] each
 
             def col(v):  # current anchor's field, [B, 1]
                 return jnp.sum(
-                    jnp.where(lane2 == C + i, v, 0), axis=1, keepdims=True
+                    jnp.where(lane2 == R * C + i, v, 0), axis=1,
+                    keepdims=True,
                 )
 
             cq = col(win["qpos"])
@@ -105,8 +109,8 @@ def _make_kernel(B: int, params: ChainParams):
             )
             dd = jnp.abs(dr - dq)
             ok = ok & (dd <= p.bw)
-            # predecessor lanes: [i, C+i) == anchors [abs_i - C, abs_i)
-            ok = ok & (lane2 >= i) & (lane2 < C + i)
+            # predecessor lanes: [i, R*C+i) == anchors [abs_i-R*C, abs_i)
+            ok = ok & (lane2 >= i) & (lane2 < R * C + i)
             dg = jnp.minimum(dr, dq)
             w_span = win["span"]  # predecessor's span caps the gain
             sc = jnp.minimum(dg, w_span)
@@ -120,7 +124,7 @@ def _make_kernel(B: int, params: ChainParams):
             sc = jnp.where((dd != 0) | (dg > w_span), sc - pen, sc)
             sc = jnp.where(ok, sc, NEG_INF)
 
-            f_win = jnp.concatenate([f_prev, f_cur], axis=1)  # [B, 2C]
+            f_win = jnp.concatenate([f_prev, f_cur], axis=1)  # [B, WIN]
             tot = jnp.where(sc > NEG_INF, f_win + sc, NEG_INF)
             best = jnp.max(tot, axis=1, keepdims=True)  # [B, 1]
             arg = jnp.max(
@@ -138,7 +142,13 @@ def _make_kernel(B: int, params: ChainParams):
         f_cur0 = jnp.full((B, C), NEG_INF, _I32)
         p_cur0 = jnp.full((B, C), -1, _I32)
         f_cur, p_cur = jax.lax.fori_loop(0, C, body, (f_cur0, p_cur0))
-        f_scr[:, :] = f_cur
+        if R == 1:
+            f_scr[:, :] = f_cur
+        else:
+            # shift the history ring left one block
+            f_scr[:, :] = jnp.concatenate(
+                [f_prev[:, C:], f_cur], axis=1
+            )
         f_out[:, pl.ds(pl.multiple_of(b * C, C), C)] = f_cur
         p_out[:, pl.ds(pl.multiple_of(b * C, C), C)] = p_cur
 
@@ -147,8 +157,11 @@ def _make_kernel(B: int, params: ChainParams):
 
 @partial(jax.jit, static_argnames=("params", "window"))
 def chain_scores_pallas(anchors: dict, params: ChainParams, window: int = C):
-    """Pallas chain DP; fixed window H == 128 (`window` accepted for
-    interface parity; the kernel always uses the lane-aligned 128)."""
+    """Pallas chain DP.  The predecessor window is
+    ceil(window/128)*128 anchors (lane-aligned multi-block history —
+    minimap2's max_chain_iter analogue; cost grows linearly with the
+    window)."""
+    R = max(1, (window + C - 1) // C)
     rev = anchors["rev"].astype(_I32)
     rid = anchors["rid"].astype(_I32)
     rpos = anchors["rpos"].astype(_I32)
@@ -165,7 +178,7 @@ def chain_scores_pallas(anchors: dict, params: ChainParams, window: int = C):
     def pad(x, fill):
         return jnp.concatenate(
             [
-                jnp.full((B, C), fill, x.dtype),
+                jnp.full((B, R * C), fill, x.dtype),
                 x,
                 jnp.full((B, A_pad - A), fill, x.dtype),
             ],
@@ -176,7 +189,7 @@ def chain_scores_pallas(anchors: dict, params: ChainParams, window: int = C):
         pad(rev, 0), pad(rid, 0), pad(rpos, 0), pad(qpos, 0),
         pad(valid, 0), pad(span, 0),
     )
-    kernel = _make_kernel(B, params)
+    kernel = _make_kernel(B, params, R)
     f, p = pl.pallas_call(
         kernel,
         grid=(NB,),
@@ -189,7 +202,7 @@ def chain_scores_pallas(anchors: dict, params: ChainParams, window: int = C):
             jax.ShapeDtypeStruct((B, A_pad), _I32),
             jax.ShapeDtypeStruct((B, A_pad), _I32),
         ),
-        scratch_shapes=[pltpu.VMEM((B, C), _I32)],
+        scratch_shapes=[pltpu.VMEM((B, R * C), _I32)],
         interpret=jax.default_backend() != "tpu",
     )(*args)
     f = f[:, :A]

@@ -76,7 +76,8 @@ DIAG_BLOCK = 8  # anti-diagonals per grid step (amortizes step overhead;
 # carries stay in registers across the in-step sub-diagonals)
 
 
-def _make_kernel(J: int, W: int, S: int, p: ExtendParams):
+def _make_kernel(J: int, W: int, S: int, p: ExtendParams,
+                 dirs_dtype=jnp.uint8):
     def gap(l):
         return jnp.minimum(p.q + l * p.e, p.q2 + l * p.e2)
 
@@ -200,7 +201,7 @@ def _make_kernel(J: int, W: int, S: int, p: ExtendParams):
         F2w = jnp.where(cell_ok, F2n, NEG)
         dirs_ref[k] = jnp.where(
             cell_ok, src | e1c | e2c | f1c | f2c, 0
-        ).astype(jnp.uint8)
+        ).astype(dirs_dtype)
 
         # ---- best trackers (BST cols: 0 best_sc,1 best_i,2 best_j,
         #                                3 g_sc,4 g_j,5 end_sc) -------
@@ -238,11 +239,12 @@ def _make_kernel(J: int, W: int, S: int, p: ExtendParams):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("W", "params"))
-def _extend_pallas_device(qd, td, qlen, tlen, W: int, params: ExtendParams):
+@partial(jax.jit, static_argnames=("W", "params", "dirs_dtype"))
+def _extend_pallas_device(qd, td, qlen, tlen, W: int, params: ExtendParams,
+                          dirs_dtype=jnp.uint8):
     S_pad, J, _ = qd.shape
     assert S_pad % DIAG_BLOCK == 0
-    kernel = _make_kernel(J, W, S_pad, params)
+    kernel = _make_kernel(J, W, S_pad, params, dirs_dtype)
     DB = DIAG_BLOCK
     dirs, best = pl.pallas_call(
         kernel,
@@ -258,7 +260,7 @@ def _extend_pallas_device(qd, td, qlen, tlen, W: int, params: ExtendParams):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((S_pad, J, W), jnp.uint8),
+            jax.ShapeDtypeStruct((S_pad, J, W), dirs_dtype),
             jax.ShapeDtypeStruct((J, 128), _I32),
         ),
         scratch_shapes=[pltpu.VMEM((J, W), _I32) for _ in range(6)]
@@ -266,6 +268,88 @@ def _extend_pallas_device(qd, td, qlen, tlen, W: int, params: ExtendParams):
         interpret=jax.default_backend() != "tpu",
     )(qd, td, qlen, tlen)
     return dirs, best
+
+
+def _device_stage_indices(Q: int, T: int, W: int, S_pad: int):
+    """Static [S_pad, W] gather indices for on-device diagonal-major
+    staging (same band geometry as stage_diagonals): qd[s, :, d] =
+    q[:, lo(s)+d], td[s, :, d] = t[:, s-lo(s)-d], with out-of-range
+    indices redirected to a padding column of 4s at Q (resp. T)."""
+    s_arr = np.arange(S_pad, dtype=np.int64)
+    lo_arr = np.maximum(s_arr // 2 - W // 2 + 1, 0)
+    d = np.arange(W, dtype=np.int64)
+    qi = lo_arr[:, None] + d[None, :]
+    ti = s_arr[:, None] - qi
+    qi_c = np.where((qi >= 0) & (qi < Q), qi, Q).astype(np.int32)
+    ti_c = np.where((ti >= 0) & (ti < T), ti, T).astype(np.int32)
+    return qi_c, ti_c
+
+
+@partial(
+    jax.jit, static_argnames=("W", "OPS", "params", "end_bonus", "S_pad")
+)
+def _extend_traceback_jit(q, t, qlen, tlen, mode, W, OPS, params,
+                          end_bonus, S_pad):
+    """Device-resident extension: stage -> banded DP -> traceback.
+
+    The [S, J, W] staging and direction tensors never leave HBM; the
+    only outputs are the packed CIGAR table and the per-job info rows
+    (~(OPS+128)*4 bytes per job on the wire)."""
+    from .traceback_pallas import traceback_pallas
+
+    J, Q = q.shape
+    T = t.shape[1]
+    qi_c, ti_c = _device_stage_indices(Q, T, W, S_pad)
+    qp = jnp.concatenate([q, jnp.full((J, 1), 4, q.dtype)], axis=1)
+    tp = jnp.concatenate([t, jnp.full((J, 1), 4, t.dtype)], axis=1)
+    # [J, S, W] gathers with constant index arrays, then to [S, J, W]
+    qd = jnp.moveaxis(qp[:, qi_c], 1, 0).astype(jnp.int32)
+    td = jnp.moveaxis(tp[:, ti_c], 1, 0).astype(jnp.int32)
+    ql2 = jnp.broadcast_to(qlen.astype(jnp.int32)[:, None], (J, W))
+    tl2 = jnp.broadcast_to(tlen.astype(jnp.int32)[:, None], (J, W))
+    dirs, best = _extend_pallas_device(
+        qd, td, ql2, tl2, W, params, dirs_dtype=jnp.int32
+    )
+    ql128 = jnp.broadcast_to(qlen.astype(jnp.int32)[:, None], (J, 128))
+    tl128 = jnp.broadcast_to(tlen.astype(jnp.int32)[:, None], (J, 128))
+    mode128 = jnp.broadcast_to(mode.astype(jnp.int32)[:, None], (J, 128))
+    ops, info = traceback_pallas(
+        dirs, best, ql128, tl128, mode128, W, OPS, end_bonus
+    )
+    return ops, info
+
+
+def extend_traceback_device(
+    q: np.ndarray,  # [J, QMAX] uint8 (host)
+    t: np.ndarray,  # [J, TMAX] uint8 (host)
+    qlen: np.ndarray,
+    tlen: np.ndarray,
+    mode: np.ndarray,  # [J] int32: 0 global (mid), 1 extension (flank)
+    W: int,
+    params: ExtendParams,
+    end_bonus: int,
+    max_ops: int = 128,
+) -> Dict[str, np.ndarray]:
+    """Host wrapper for the fully device-resident extension stage.
+
+    Returns dict with `ops` [J, OPS] int32 (len<<4|op, END->START
+    order, -1 padded) and `info` [J, 128] int32 (cols: 0 n_ops,
+    1 final_i, 2 final_j, 3 score, 4 started, 5 overflow, 6 start_i,
+    7 start_j)."""
+    S = q.shape[1] + t.shape[1] - 1
+    S_pad = ((S + DIAG_BLOCK - 1) // DIAG_BLOCK) * DIAG_BLOCK
+    OPS = ((max_ops + 127) // 128) * 128
+    ops, info = _extend_traceback_jit(
+        jnp.asarray(q), jnp.asarray(t),
+        jnp.asarray(qlen.astype(np.int32)),
+        jnp.asarray(tlen.astype(np.int32)),
+        jnp.asarray(mode.astype(np.int32)),
+        W, OPS, params, int(end_bonus), S_pad,
+    )
+    import jax as _jax
+
+    ops_np, info_np = _jax.device_get((ops, info))
+    return {"ops": np.asarray(ops_np), "info": np.asarray(info_np)}
 
 
 def extend_dp_pallas(

@@ -53,6 +53,20 @@ def main():
     print(f"serial single-thread: {N_READS/dt:.1f} reads/s ({dt:.2f}s)",
           file=sys.stderr)
     print("metrics:", dict(eng.metrics.counters), file=sys.stderr)
+
+    # threaded pool runs (the production map_batch path)
+    payload = [{"i": i, "seq": r} for i, r in enumerate(reads)]
+    for nt in (4, 6):
+        al.enable_threading(nt)
+        for _ in al.map_batch(payload[:256]):
+            pass
+        t0 = time.perf_counter()
+        n = 0
+        for _m, _d in al.map_batch(payload):
+            n += 1
+        dt = time.perf_counter() - t0
+        print(f"pool {nt} workers: {n/dt:.1f} reads/s ({dt:.2f}s)",
+              file=sys.stderr)
     buf = io.StringIO()
     ps = pstats.Stats(pr, stream=buf).sort_stats("cumulative")
     ps.print_stats(35)
