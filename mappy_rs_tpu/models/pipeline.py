@@ -251,6 +251,7 @@ class AlignmentEngine:
             read_regions.append((ri, regions, int(rep_len[ri])))
             jobs.extend(self._make_jobs(regions, c, qlen))
         self._run_jobs(jobs)
+        self._run_split_rounds(read_regions, codes)
         self._finish_reads(read_regions, codes, out, cs, md)
 
     def _bucket_len(self, n: int) -> int:
@@ -391,6 +392,7 @@ class AlignmentEngine:
                 jobs.extend(self._make_jobs(regions, codes[ri], qlen))
 
             self._run_jobs(jobs)
+            self._run_split_rounds(read_regions, codes)
             self._finish_reads(read_regions, codes, out, cs, md)
 
         if overflow_reads and a_boost < 16:
@@ -401,6 +403,131 @@ class AlignmentEngine:
             self._map_bucket(
                 L, overflow_reads, codes, out, cs, md, a_boost * 4
             )
+
+    MAX_SPLITS = 3
+
+    def _run_split_rounds(
+        self,
+        read_regions: List[Tuple[int, List[Region], int]],
+        codes: List[np.ndarray],
+    ) -> None:
+        """Resolve zdrop splits: regions whose mid alignment truncated
+        re-enter extension as (head, remainder) pairs until no segment
+        zdrops (bounded rounds)."""
+        for _ in range(self.MAX_SPLITS + 1):
+            extra = self._split_zdropped(read_regions, codes)
+            if not extra:
+                return
+            self._run_jobs(extra)
+
+    def _split_zdropped(
+        self,
+        read_regions: List[Tuple[int, List[Region], int]],
+        codes: List[np.ndarray],
+    ) -> List[_ExtJob]:
+        """mm_align1's zdrop chimeric/SV splitting: when a mid
+        segment's global DP fell more than zdrop below its running max
+        (ksw2 KSW_EZ_APPROX_DROP; /root/reference behavior behind
+        src/lib.rs:482 via the C core), the region ends at the max
+        cell and the remainder becomes a NEW region, re-extended with
+        its own left flank toward the break.  Returns the new
+        regions' extension jobs (caller runs them; a remainder can
+        itself split again, up to MAX_SPLITS rounds)."""
+        new_jobs: List[_ExtJob] = []
+        ref = self.index.ref_codes
+        offs = self.index.seq_offsets
+        for ri, regions, _rl in read_regions:
+            qlen = len(codes[ri])
+            add: List[Region] = []
+            for r in regions:
+                zd = getattr(r, "_mid_zdrop", None)
+                if not zd:
+                    continue
+                si = min(zd.keys())
+                qc, tc = zd[si]
+                segs = r._segs  # type: ignore[attr-defined]
+                q0, _q1, t0, _t1 = segs[si]
+                orig_re = r.re
+                orig_qe_a = r._qe_a  # type: ignore[attr-defined]
+                orig_right = getattr(r, "_right", ([], 0, 0, 0))
+                part = r._mid_parts[si]  # type: ignore[attr-defined]
+                self.metrics.add("zdrop_splits", 1)
+                # --- head: truncate r at the max cell ---
+                if part is not None and part[0]:
+                    r._mid_parts = r._mid_parts[: si + 1]
+                    r.re = t0 + tc
+                    r._qe_a = q0 + qc
+                else:
+                    # dropped immediately: end at the segment boundary
+                    r._mid_parts = (
+                        r._mid_parts[:si] if si > 0 else [([], 0)]
+                    )
+                    r.re = t0
+                    r._qe_a = q0
+                r._segs = segs[: si + 1]
+                r._mid_zdrop = {}
+                r._right = ([], 0, 0, 0)  # no extension past a drop
+                # --- remainder: new region from the next segment on ---
+                n_splits = getattr(r, "_n_splits", 0)
+                if si + 1 >= len(segs) or n_splits >= self.MAX_SPLITS:
+                    continue
+                qB0, tB0 = segs[si + 1][0], segs[si + 1][2]
+                if orig_qe_a <= qB0 or orig_re <= tB0:
+                    continue
+                frac = (orig_qe_a - qB0) / max(orig_qe_a - r._qs_a, 1)  # type: ignore[attr-defined]
+                rB = Region(
+                    rev=r.rev,
+                    rid=r.rid,
+                    qs=qB0 if r.rev == 0 else qlen - orig_qe_a,
+                    qe=orig_qe_a if r.rev == 0 else qlen - qB0,
+                    rs=tB0,
+                    re=orig_re,
+                    score=max(int(r.score * frac), 1),
+                    cnt=max(int(r.cnt * frac), 1),
+                    anchors_qpos=np.asarray([qB0, orig_qe_a - 1], np.int32),
+                    anchors_rpos=np.asarray([tB0, orig_re - 1], np.int32),
+                )
+                rB._q_al = r._q_al  # type: ignore[attr-defined]
+                rB._qs_a = qB0  # type: ignore[attr-defined]
+                rB._qe_a = orig_qe_a  # type: ignore[attr-defined]
+                rB._segs = segs[si + 1 :]  # type: ignore[attr-defined]
+                rB._n_mid = len(rB._segs)  # type: ignore[attr-defined]
+                rB._mid_parts = [None] * len(rB._segs)  # type: ignore[attr-defined]
+                rB._mid_zdrop = {}  # type: ignore[attr-defined]
+                rB._n_splits = n_splits + 1  # type: ignore[attr-defined]
+                rB._right = orig_right  # type: ignore[attr-defined]
+                roff = int(offs[r.rid])
+                q_al = rB._q_al  # type: ignore[attr-defined]
+                for sj, (sq0, sq1, st0, st1) in enumerate(rB._segs):  # type: ignore[attr-defined]
+                    new_jobs.append(
+                        _ExtJob(
+                            rB, "mid",
+                            q_al[sq0:sq1],
+                            ref[roff + st0 : roff + st1],
+                            seg=sj,
+                        )
+                    )
+                # left flank back toward the break (bounded by the gap)
+                gap_q0 = r._qe_a  # type: ignore[attr-defined]
+                bw = min(self.opt.bw, self.flank_band // 2)
+                if qB0 > gap_q0:
+                    tl0 = min(tB0 - r.re, (qB0 - gap_q0) + bw)
+                    tl0 = max(tl0, 0)
+                    if tl0 > 0:
+                        new_jobs.append(
+                            _ExtJob(
+                                rB, "left",
+                                q_al[gap_q0:qB0][::-1],
+                                ref[roff + tB0 - tl0 : roff + tB0][::-1],
+                            )
+                        )
+                    else:
+                        rB._left = ([], 0, 0, 0)  # type: ignore[attr-defined]
+                else:
+                    rB._left = ([], 0, 0, 0)  # type: ignore[attr-defined]
+                add.append(rB)
+            regions.extend(add)
+        return new_jobs
 
     def _finish_reads(
         self,
@@ -493,8 +620,10 @@ class AlignmentEngine:
             # split at chain anchors (minimap2's per-segment alignment)
             # so the band stays narrow regardless of read length.
             segs = self._mid_segments(r, qs_a, qe_a)
+            r._segs = segs  # type: ignore[attr-defined]
             r._n_mid = len(segs)  # type: ignore[attr-defined]
             r._mid_parts = [None] * len(segs)  # type: ignore[attr-defined]
+            r._mid_zdrop = {}  # type: ignore[attr-defined]
             for si, (q0, q1, t0, t1) in enumerate(segs):
                 jobs.append(
                     _ExtJob(
@@ -792,7 +921,7 @@ class AlignmentEngine:
                     W = _pow2_at_least(max(128, 2 * drift + 128), 128)
                 else:
                     W = self.flank_band
-                mode = 0 if j.kind == "mid" else 1
+                mode = 2 if j.kind == "mid" else 1
                 groups.setdefault((W, mode), []).append(j)
             for (W, mode), sel in groups.items():
                 QS = max(len(j.q) for j in sel)
@@ -807,7 +936,7 @@ class AlignmentEngine:
                     ql[i], tl[i] = len(j.q), len(j.t)
                 res = native.extend_banded_batch(
                     q, t, ql, tl, W, self._ext_params, self.opt.end_bonus,
-                    mode, zdrop=self.opt.zdrop if mode == 1 else 0,
+                    mode, zdrop=self.opt.zdrop,
                 )
                 self.metrics.add(
                     "dp_cells", float(len(sel)) * (QS + TS - 1) * W
@@ -816,9 +945,15 @@ class AlignmentEngine:
                     for j in sel:
                         self._store_empty(j)
                     continue
-                for j, (ops, sc, qc, tc) in zip(sel, res):
-                    if mode == 0:
+                for j, (ops, sc, qc, tc, zflag) in zip(sel, res):
+                    if mode == 2:
                         j.region._mid_parts[j.seg] = (ops, sc)  # type: ignore[attr-defined]
+                        if zflag:
+                            # alignment truncated at the running-max
+                            # cell: record the consumed spans so the
+                            # caller splits the region (mm_align1's
+                            # zdrop chimeric-split semantics)
+                            j.region._mid_zdrop[j.seg] = (qc, tc)  # type: ignore[attr-defined]
                     elif ops or sc > 0:
                         setattr(j.region, f"_{j.kind}", (ops, sc, qc, tc))
                     else:

@@ -424,7 +424,7 @@ def extend_banded_batch(
         max_ops = 2 * (QS + TS) + 8
     out_ops = np.zeros((J, max_ops), np.int32)
     out_n = np.zeros(J, np.int32)
-    out_info = np.zeros((J, 3), np.int32)
+    out_info = np.zeros((J, 4), np.int32)
     lib.extend_banded_batch(
         np.ascontiguousarray(q), np.ascontiguousarray(t),
         np.ascontiguousarray(qlen, np.int32),
@@ -441,6 +441,7 @@ def extend_banded_batch(
             return None
         ops = [(int(v) >> 4, int(v) & 0xF) for v in out_ops[j, :n]]
         res.append(
-            (ops, int(out_info[j, 0]), int(out_info[j, 1]), int(out_info[j, 2]))
+            (ops, int(out_info[j, 0]), int(out_info[j, 1]),
+             int(out_info[j, 2]), int(out_info[j, 3]))
         )
     return res

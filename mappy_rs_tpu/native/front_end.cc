@@ -210,7 +210,6 @@ void front_end_batch(
     // outputs
     int32_t* chains_out, int32_t* rep_len_out, int32_t* n_anchors_out) {
   const int FLD = 9 + 2 * seg_cuts;
-  const int32_t NEG = -(1 << 30);
   std::vector<Mini> mins;
   std::vector<Anchor> an;
   std::vector<int32_t> f, p, used;
@@ -333,7 +332,6 @@ void front_end_batch(
       if (used[end]) continue;
       // walk
       int i = end, cnt = 0;
-      int32_t join_f = 0;
       int32_t q_first = 0, r_first = 0, sp_first = 0;
       int32_t q_end = an[end].qpos;
       int32_t next_cut = q_end - seg_len;

@@ -267,9 +267,9 @@ void extend_banded_batch(const uint8_t* qs, const uint8_t* ts,
     const uint8_t* q = qs + (int64_t)job * QSTRIDE;
     const uint8_t* t = ts + (int64_t)job * TSTRIDE;
     int32_t* ops = out_ops + (int64_t)job * max_ops;
-    int32_t* info = out_info + (int64_t)job * 3;
+    int32_t* info = out_info + (int64_t)job * 4;
     out_n[job] = 0;
-    info[0] = info[1] = info[2] = 0;
+    info[0] = info[1] = info[2] = info[3] = 0;
     if (Q <= 0 || T <= 0) continue;
     int S = Q + T - 1;
     // band state with 2-lane sentinel padding on both sides so the
@@ -431,14 +431,33 @@ void extend_banded_batch(const uint8_t* qs, const uint8_t* ts,
           reset_sentinels(base);
         lo2 = lo1;
         lo1 = lo;
-        // zdrop early termination (extension mode, ksw2-style)
-        if (mode == 1 && zdrop > 0 && best_sc > NEGI / 2 &&
+        // zdrop early termination (ksw2 KSW_EZ_APPROX_DROP): applies
+        // to extension (mode 1) and split-enabled global (mode 2) —
+        // in mode 2 the unreached end cell marks the job dropped and
+        // the caller splits the region at the max cell
+        if (mode != 0 && zdrop > 0 && best_sc > NEGI / 2 &&
             diag_best < best_sc - zdrop)
           break;
       }
     }
     int si, sj, sc;
-    if (mode == 0) {
+    if (mode == 2) {
+      // global with zdrop split (minimap2 gap-filling semantics,
+      // KSW_EZ_APPROX_DROP): when the end-cell score fell more than
+      // zdrop below the running max, the alignment is truncated at
+      // the max cell and flagged so the caller splits the region.
+      bool dropped = end_sc <= NEGI / 2 ||
+                     (zdrop > 0 && end_sc <= best_sc - zdrop);
+      if (dropped && best_sc > NEGI / 2) {
+        si = best_i; sj = best_j; sc = best_sc;
+      } else if (end_sc > NEGI / 2) {
+        si = Q - 1; sj = T - 1; sc = end_sc;
+        dropped = false;
+      } else {
+        continue;
+      }
+      info[3] = dropped ? 1 : 0;
+    } else if (mode == 0) {
       si = Q - 1; sj = T - 1; sc = end_sc;
       if (end_sc <= NEGI / 2) continue;  // end cell unreachable in band
     } else {

@@ -159,7 +159,7 @@ def test_native_banded_matches_device_path():
         got = native.extend_banded_batch(q, t, ql, tl, W, P, -1, mode)
         assert got is not None
         for i in range(J):
-            ops, sc, qc, tc = got[i]
+            ops, sc, qc, tc, _zflag = got[i]
             if mode == 0:
                 assert sc == int(dev["end_sc"][i]), f"job {i} end_sc"
                 exp = traceback_one(

@@ -69,7 +69,7 @@ def main():
     info = res["info"]
     n_diff = 0
     for ji in range(J):
-        ops_h, sc_h, qc_h, tc_h = host[ji]
+        ops_h, sc_h, qc_h, tc_h, _z = host[ji]
         row = info[ji]
         if int(row[5]):
             print(f"job {ji}: OVERFLOW")
