@@ -77,7 +77,14 @@ DIAG_BLOCK = 8  # anti-diagonals per grid step (amortizes step overhead;
 
 
 def _make_kernel(J: int, W: int, S: int, p: ExtendParams,
-                 dirs_dtype=jnp.uint8):
+                 dirs_dtype=jnp.uint8, QP: int = 0, TP: int = 0):
+    """DP kernel with IN-KERNEL diagonal staging: the query/target
+    windows for the current anti-diagonal live in [J, W] VMEM scratch
+    and are maintained as shift registers — one lane roll plus one
+    masked-lane injection from the [J, QP]/[J, TP] base arrays per
+    diagonal.  (The previous design staged [S, J, W] diagonal-major
+    tensors; on-host that upload is ~1MB/job, on-device the XLA
+    gathers dominated the kernel runtime.)"""
     def gap(l):
         return jnp.minimum(p.q + l * p.e, p.q2 + l * p.e2)
 
@@ -87,31 +94,62 @@ def _make_kernel(J: int, W: int, S: int, p: ExtendParams,
     def shift_fwd(x, lane):  # out[d] = x[d+1]
         return jnp.where(lane == W - 1, NEG, pltpu.roll(x, shift=W - 1, axis=1))
 
-    def kernel(qd_ref, td_ref, qlen_ref, tlen_ref, dirs_ref, best_ref,
-               H1, E1, E2, F1, F2, H2, BST):
+    def kernel(q_ref, t_ref, qlen_ref, tlen_ref, dirs_ref, best_ref,
+               H1, E1, E2, F1, F2, H2, BST, QW, TW):
         blk = pl.program_id(0)
         lane = jax.lax.broadcasted_iota(_I32, (J, W), 1)
+        laneQ = jax.lax.broadcasted_iota(_I32, (J, QP), 1)
+        laneT = jax.lax.broadcasted_iota(_I32, (J, TP), 1)
 
         @pl.when(blk == 0)
         def _():
             for ref in (H1, E1, E2, F1, F2, H2):
                 ref[:, :] = jnp.full((J, W), NEG, _I32)
             BST[:, :] = jnp.full((J, 128), NEG, _I32)
+            # window for s=0: lane d holds q[lo(0)+d] = q[d]; the t
+            # window starts empty — the s=0 update injects t[0]
+            QW[:, :] = q_ref[:, :W]
+            TW[:, :] = jnp.zeros((J, W), _I32)
 
         qlen = qlen_ref[:, :]  # [J, W] (host-broadcast, avoids i1 relayout)
         tlen = tlen_ref[:, :]
         H1v, E1v, E2v = H1[:, :], E1[:, :], E2[:, :]
         F1v, F2v, H2v = F1[:, :], F2[:, :], H2[:, :]
         bst = BST[:, :]
+        qw = QW[:, :]
+        tw = TW[:, :]
         col = jax.lax.broadcasted_iota(_I32, (J, 128), 1)
 
         for k in range(DIAG_BLOCK):
             s = blk * DIAG_BLOCK + k
+            # ---- window maintenance: advance (s-1) -> s ----
+            lo_s = jnp.maximum(s // 2 - W // 2 + 1, 0)
+            lo_p = jnp.maximum((s - 1) // 2 - W // 2 + 1, 0)
+            qshift = jnp.where(s == 0, 0, lo_s - lo_p)  # 0/1
+            tshift = jnp.where(s == 0, 1, 1 - (lo_s - lo_p))
+
+            def inject_col(base_ref, laneB, idx):
+                # [J, 1] column base[:, idx] via masked reduction
+                return jnp.sum(
+                    jnp.where(laneB == idx, base_ref[:, :], 0),
+                    axis=1, keepdims=True,
+                )
+
+            q_new = pltpu.roll(qw, shift=W - 1, axis=1)  # out[d]=in[d+1]
+            q_inj = inject_col(q_ref, laneQ, lo_s + W - 1)
+            q_new = jnp.where(lane == W - 1, q_inj, q_new)
+            qw = jnp.where(qshift == 1, q_new, qw)
+            t_new = pltpu.roll(tw, shift=1, axis=1)  # out[d]=in[d-1]
+            t_inj = inject_col(t_ref, laneT, s - lo_s)
+            t_new = jnp.where(lane == 0, t_inj, t_new)
+            tw = jnp.where(tshift == 1, t_new, tw)
             (H1v, E1v, E2v, F1v, F2v, H2v, bst) = _substep(
-                k, s, qd_ref, td_ref, dirs_ref, qlen, tlen, lane, col,
+                k, s, qw, tw, dirs_ref, qlen, tlen, lane, col,
                 H1v, E1v, E2v, F1v, F2v, H2v, bst,
             )
 
+        QW[:, :] = qw
+        TW[:, :] = tw
         H1[:, :] = H1v
         E1[:, :] = E1v
         E2[:, :] = E2v
@@ -124,7 +162,7 @@ def _make_kernel(J: int, W: int, S: int, p: ExtendParams,
         def _():
             best_ref[:, :] = bst
 
-    def _substep(k, s, qd_ref, td_ref, dirs_ref, qlen, tlen, lane, col,
+    def _substep(k, s, qb, tb, dirs_ref, qlen, tlen, lane, col,
                  H1v, E1v, E2v, F1v, F2v, H2v, bst):
         lo = jnp.maximum(s // 2 - W // 2 + 1, 0)
         lo1 = jnp.maximum((s - 1) // 2 - W // 2 + 1, 0)
@@ -136,8 +174,6 @@ def _make_kernel(J: int, W: int, S: int, p: ExtendParams,
         j = s - i
         cell_ok = (i <= jnp.minimum(s, qlen - 1)) & (j >= 0) & (j <= tlen - 1)
 
-        qb = qd_ref[k]
-        tb = td_ref[k]
         ambi = (qb == 4) | (tb == 4)
         pair = jnp.where(ambi, -p.sc_ambi, jnp.where(qb == tb, p.a, -p.b))
 
@@ -239,19 +275,25 @@ def _make_kernel(J: int, W: int, S: int, p: ExtendParams,
     return kernel
 
 
-@partial(jax.jit, static_argnames=("W", "params", "dirs_dtype"))
-def _extend_pallas_device(qd, td, qlen, tlen, W: int, params: ExtendParams,
-                          dirs_dtype=jnp.uint8):
-    S_pad, J, _ = qd.shape
+@partial(jax.jit, static_argnames=("W", "params", "dirs_dtype", "S_pad"))
+def _extend_pallas_device(q32, t32, qlen, tlen, W: int,
+                          params: ExtendParams, dirs_dtype=jnp.uint8,
+                          S_pad: int = 0):
+    """q32/t32: [J, QP]/[J, TP] int32 padded base arrays (QP/TP
+    multiples of 128, QP >= W); staging happens inside the kernel."""
+    J = q32.shape[0]
     assert S_pad % DIAG_BLOCK == 0
-    kernel = _make_kernel(J, W, S_pad, params, dirs_dtype)
+    J2, QP = q32.shape
+    TP = t32.shape[1]
+    assert J2 == J and QP % 128 == 0 and TP % 128 == 0 and QP >= W
+    kernel = _make_kernel(J, W, S_pad, params, dirs_dtype, QP, TP)
     DB = DIAG_BLOCK
     dirs, best = pl.pallas_call(
         kernel,
         grid=(S_pad // DB,),
         in_specs=[
-            pl.BlockSpec((DB, J, W), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((DB, J, W), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -264,25 +306,23 @@ def _extend_pallas_device(qd, td, qlen, tlen, W: int, params: ExtendParams,
             jax.ShapeDtypeStruct((J, 128), _I32),
         ),
         scratch_shapes=[pltpu.VMEM((J, W), _I32) for _ in range(6)]
-        + [pltpu.VMEM((J, 128), _I32)],
+        + [pltpu.VMEM((J, 128), _I32)]
+        + [pltpu.VMEM((J, W), _I32) for _ in range(2)],
         interpret=jax.default_backend() != "tpu",
-    )(qd, td, qlen, tlen)
+    )(q32, t32, qlen, tlen)
     return dirs, best
 
 
-def _device_stage_indices(Q: int, T: int, W: int, S_pad: int):
-    """Static [S_pad, W] gather indices for on-device diagonal-major
-    staging (same band geometry as stage_diagonals): qd[s, :, d] =
-    q[:, lo(s)+d], td[s, :, d] = t[:, s-lo(s)-d], with out-of-range
-    indices redirected to a padding column of 4s at Q (resp. T)."""
-    s_arr = np.arange(S_pad, dtype=np.int64)
-    lo_arr = np.maximum(s_arr // 2 - W // 2 + 1, 0)
-    d = np.arange(W, dtype=np.int64)
-    qi = lo_arr[:, None] + d[None, :]
-    ti = s_arr[:, None] - qi
-    qi_c = np.where((qi >= 0) & (qi < Q), qi, Q).astype(np.int32)
-    ti_c = np.where((ti >= 0) & (ti < T), ti, T).astype(np.int32)
-    return qi_c, ti_c
+def _pad_lanes(x: np.ndarray, min_w: int) -> np.ndarray:
+    """Pad the lane dim to a multiple of 128 (and >= min_w) with 4s —
+    the in-kernel staging reads base arrays as full VMEM refs."""
+    J, L = x.shape
+    target = max(((L + 127) // 128) * 128, ((min_w + 127) // 128) * 128)
+    if target == L:
+        return x
+    out = np.full((J, target), 4, x.dtype)
+    out[:, :L] = x
+    return out
 
 
 @partial(
@@ -298,17 +338,11 @@ def _extend_traceback_jit(q, t, qlen, tlen, mode, W, OPS, params,
     from .traceback_pallas import traceback_pallas
 
     J, Q = q.shape
-    T = t.shape[1]
-    qi_c, ti_c = _device_stage_indices(Q, T, W, S_pad)
-    qp = jnp.concatenate([q, jnp.full((J, 1), 4, q.dtype)], axis=1)
-    tp = jnp.concatenate([t, jnp.full((J, 1), 4, t.dtype)], axis=1)
-    # [J, S, W] gathers with constant index arrays, then to [S, J, W]
-    qd = jnp.moveaxis(qp[:, qi_c], 1, 0).astype(jnp.int32)
-    td = jnp.moveaxis(tp[:, ti_c], 1, 0).astype(jnp.int32)
     ql2 = jnp.broadcast_to(qlen.astype(jnp.int32)[:, None], (J, W))
     tl2 = jnp.broadcast_to(tlen.astype(jnp.int32)[:, None], (J, W))
     dirs, best = _extend_pallas_device(
-        qd, td, ql2, tl2, W, params, dirs_dtype=jnp.int32
+        q.astype(jnp.int32), t.astype(jnp.int32), ql2, tl2, W, params,
+        dirs_dtype=jnp.int32, S_pad=S_pad,
     )
     ql128 = jnp.broadcast_to(qlen.astype(jnp.int32)[:, None], (J, 128))
     tl128 = jnp.broadcast_to(tlen.astype(jnp.int32)[:, None], (J, 128))
@@ -336,6 +370,8 @@ def extend_traceback_device(
     order, -1 padded) and `info` [J, 128] int32 (cols: 0 n_ops,
     1 final_i, 2 final_j, 3 score, 4 started, 5 overflow, 6 start_i,
     7 start_j)."""
+    q = _pad_lanes(q, W)
+    t = _pad_lanes(t, 128)
     S = q.shape[1] + t.shape[1] - 1
     S_pad = ((S + DIAG_BLOCK - 1) // DIAG_BLOCK) * DIAG_BLOCK
     OPS = ((max_ops + 127) // 128) * 128
@@ -360,11 +396,12 @@ def extend_dp_pallas(
     W: int,
     params: ExtendParams,
 ) -> Dict[str, np.ndarray]:
-    """Host wrapper: diagonal staging + kernel; same outputs as
+    """Host wrapper: in-kernel staging; same outputs as
     ops/extend.py:extend_dp (dirs/best_sc/best_i/best_j/g_sc/g_j/end_sc)."""
+    q = _pad_lanes(q, W)
+    t = _pad_lanes(t, 128)
     S = q.shape[1] + t.shape[1] - 1
     S_pad = ((S + DIAG_BLOCK - 1) // DIAG_BLOCK) * DIAG_BLOCK
-    qd, td = stage_diagonals(q, t, W, S_pad)
     ql2 = np.broadcast_to(
         qlen.astype(np.int32)[:, None], (len(qlen), W)
     ).copy()
@@ -372,8 +409,9 @@ def extend_dp_pallas(
         tlen.astype(np.int32)[:, None], (len(tlen), W)
     ).copy()
     dirs, best = _extend_pallas_device(
-        jnp.asarray(qd), jnp.asarray(td), jnp.asarray(ql2), jnp.asarray(tl2),
-        W, params,
+        jnp.asarray(q.astype(np.int32)), jnp.asarray(t.astype(np.int32)),
+        jnp.asarray(ql2), jnp.asarray(tl2),
+        W, params, S_pad=S_pad,
     )
     best = np.asarray(best)
     return {

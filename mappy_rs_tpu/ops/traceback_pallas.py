@@ -17,17 +17,22 @@ extension kernel's forward sweep:
     move: both decrement), and a state ENTER (H -> E/F) consumes none
     — so per swept diagonal each job needs at most TWO state-machine
     substeps: one that can match/enter, one that can emit a gap op.
-    Jobs whose current diagonal is below the sweep simply wait
-    (their act mask is false);
+    Jobs whose current diagonal is below the sweep simply wait;
   * per-job walk registers (i, j, state, n_ops, current run op/len,
     active, score) are [J, 1] values extracted from / written back to
-    a [J, 128] i32 scratch ONCE per grid step (the fori/scf.for
-    legalizer requires lane-128-aligned i32 carries — same pattern as
-    extend_pallas's BST tracker);
+    a [J, 128] i32 scratch ONCE per grid step;
   * CIGAR runs are emitted in walk order (END->START) into the
     [J, OPS] output via lane-mask writes when a run closes; the final
     run, final (i, j) (for the caller's leading-gap ops) and the
-    chosen start score are flushed on the last grid step.
+    chosen start score/cell are flushed on the last grid step.
+
+Mosaic constraints honoured (CLAUDE.md): NO boolean-typed VALUES are
+ever materialized — every mask is an i32 0/1 array built with
+`jnp.where(cmp, 1, 0)` and combined with integer arithmetic;
+comparisons appear only as the immediate predicate of a `where`.
+(Storing/combining i1 vectors on [J, 1] shapes trips an
+"Unsupported target bitwidth for truncation" legalization bug on
+this backend's Mosaic.)
 
 The start cell per job replicates models/pipeline's host rule:
   mode 0 (global / mid segment): (qlen-1, tlen-1), score end_sc,
@@ -37,9 +42,8 @@ The start cell per job replicates models/pipeline's host rule:
     cell (best_sc, best_i, best_j), inactive when neither is positive.
 
 dirs must be int32 here (the extension kernel stores uint8 for the
-host path; sub-word VMEM loads trip a Mosaic relayout bug on this
-backend — see CLAUDE.md), so the device-resident pipeline asks
-extend_pallas for int32 dirs.
+host path; sub-word VMEM loads trip the same relayout bug family), so
+the device-resident pipeline asks extend_pallas for int32 dirs.
 """
 from __future__ import annotations
 
@@ -61,6 +65,11 @@ DIAG_BLOCK = 8
 
 # CIGAR op codes (BAM): 0=M 1=I 2=D
 _OP_M, _OP_I, _OP_D = 0, 1, 2
+
+
+def _b(cond):
+    """i32 0/1 mask from a comparison (never materialize i1 values)."""
+    return jnp.where(cond, 1, 0)
 
 
 def _make_kernel(J: int, W: int, S: int, OPS: int, end_bonus: int):
@@ -93,20 +102,21 @@ def _make_kernel(J: int, W: int, S: int, OPS: int, end_bonus: int):
             end_sc = bcol(5)
             mode = mode_ref[:, :1]
             # mode 0: global end cell
-            gi = qlen - 1
-            gj = tlen - 1
-            g_act = end_sc > NEG // 2
-            # mode 1: extension rule
-            use_end = (g_sc > NEG // 2) & (g_sc + end_bonus >= best_sc) \
-                & (g_sc > 0)
-            ei = jnp.where(use_end, qlen - 1, best_i)
-            ej = jnp.where(use_end, g_j, best_j)
-            esc = jnp.where(use_end, g_sc, best_sc)
-            e_act = use_end | (best_sc > 0)
-            i0 = jnp.where(mode == 0, gi, ei)
-            j0 = jnp.where(mode == 0, gj, ej)
+            g_act = _b(end_sc > NEG // 2)
+            # mode 1: extension rule (i32 mask arithmetic)
+            use_end = (
+                _b(g_sc > NEG // 2)
+                * _b(g_sc + end_bonus >= best_sc)
+                * _b(g_sc > 0)
+            )
+            ei = jnp.where(use_end == 1, qlen - 1, best_i)
+            ej = jnp.where(use_end == 1, g_j, best_j)
+            esc = jnp.where(use_end == 1, g_sc, best_sc)
+            e_act = jnp.minimum(use_end + _b(best_sc > 0), 1)
+            i0 = jnp.where(mode == 0, qlen - 1, ei)
+            j0 = jnp.where(mode == 0, tlen - 1, ej)
             sc0 = jnp.where(mode == 0, end_sc, esc)
-            act0 = jnp.where(mode == 0, g_act, e_act).astype(_I32)
+            act0 = jnp.where(mode == 0, g_act, e_act)
             regs = jnp.zeros((J, 128), _I32)
             regs = jnp.where(colR == _R_I, i0, regs)
             regs = jnp.where(colR == _R_J, j0, regs)
@@ -137,28 +147,28 @@ def _make_kernel(J: int, W: int, S: int, OPS: int, end_bonus: int):
         out = ops_ref[:, :]
 
         def emit(op, mask, n_ops, cur_op, cur_len, out, ovf):
-            """Append one `op` to each masked job's run-length stream."""
-            same = mask & (cur_op == op)
-            cur_len = jnp.where(same, cur_len + 1, cur_len)
-            new_run = mask & jnp.logical_not(same)
-            flush = new_run & (cur_len > 0)
-            slot = jnp.where(flush & (n_ops < OPS), n_ops, -1)
+            """Append one `op` to each masked job's run-length stream.
+            `mask` is an i32 0/1 [J, 1] array."""
+            same = mask * _b(cur_op == op)
+            cur_len = jnp.where(same == 1, cur_len + 1, cur_len)
+            new_run = mask * (1 - same)
+            flush = new_run * _b(cur_len > 0)
+            slot = jnp.where(
+                (flush == 1) & (n_ops < OPS), n_ops, -1
+            )
             out = jnp.where(
                 laneO == slot, (cur_len << 4) | cur_op, out
             )
-            ovf = jnp.where(flush & (n_ops >= OPS), 1, ovf)
-            n_ops = n_ops + flush.astype(_I32)
-            cur_op = jnp.where(new_run, op, cur_op)
-            cur_len = jnp.where(new_run, 1, cur_len)
+            ovf = jnp.where((flush == 1) & (n_ops >= OPS), 1, ovf)
+            n_ops = n_ops + flush
+            cur_op = jnp.where(new_run == 1, op, cur_op)
+            cur_len = jnp.where(new_run == 1, 1, cur_len)
             return n_ops, cur_op, cur_len, out, ovf
 
         for k in range(DIAG_BLOCK - 1, -1, -1):
             s = (NB - 1 - blk) * DIAG_BLOCK + k  # descending sweep
             lo = jnp.maximum(s // 2 - W // 2 + 1, 0)
             drow = dirs_ref[k]  # [J, W] int32
-
-            alive = act > 0
-            on_diag = alive & (i + jj == s)
 
             def read_byte(i_cur):
                 d = i_cur - lo
@@ -167,37 +177,35 @@ def _make_kernel(J: int, W: int, S: int, OPS: int, end_bonus: int):
                 )
 
             # substep 1: H state — match move or gap-state entry
-            act1 = on_diag & (st == 0)
+            act1 = act * _b(i + jj == s) * _b(st == 0)
             byte = read_byte(i)
             src = byte & 7
-            is_m = act1 & (src == 0)
+            is_m = act1 * _b(src == 0)
             n_ops, cur_op, cur_len, out, ovf = emit(
                 _OP_M, is_m, n_ops, cur_op, cur_len, out, ovf
             )
-            i = jnp.where(is_m, i - 1, i)
-            jj = jnp.where(is_m, jj - 1, jj)
-            st = jnp.where(act1 & (src != 0), src, st)
+            i = jnp.where(is_m == 1, i - 1, i)
+            jj = jnp.where(is_m == 1, jj - 1, jj)
+            st = jnp.where((act1 == 1) & (src != 0), src, st)
 
             # substep 2: E/F state — emit one gap op and move
-            alive = act > 0
-            on_diag = alive & (i + jj == s)
-            act2 = on_diag & (st != 0)
+            act2 = act * _b(i + jj == s) * _b(st != 0)
             byte = read_byte(i)
-            is_e = act2 & ((st == 1) | (st == 2))
-            is_f = act2 & ((st == 3) | (st == 4))
+            is_e = act2 * _b(st <= 2) * _b(st >= 1)
+            is_f = act2 * _b(st >= 3)
             n_ops, cur_op, cur_len, out, ovf = emit(
                 _OP_D, is_e, n_ops, cur_op, cur_len, out, ovf
             )
             n_ops, cur_op, cur_len, out, ovf = emit(
                 _OP_I, is_f, n_ops, cur_op, cur_len, out, ovf
             )
-            e_cont = jnp.where(st == 1, byte & 8, byte & 16) != 0
-            f_cont = jnp.where(st == 3, byte & 32, byte & 64) != 0
-            jj = jnp.where(is_e, jj - 1, jj)
-            i = jnp.where(is_f, i - 1, i)
+            e_bit = jnp.where(st == 1, byte & 8, byte & 16)
+            f_bit = jnp.where(st == 3, byte & 32, byte & 64)
+            jj = jnp.where(is_e == 1, jj - 1, jj)
+            i = jnp.where(is_f == 1, i - 1, i)
             st = jnp.where(
-                is_e & jnp.logical_not(e_cont), 0,
-                jnp.where(is_f & jnp.logical_not(f_cont), 0, st),
+                (is_e == 1) & (e_bit == 0), 0,
+                jnp.where((is_f == 1) & (f_bit == 0), 0, st),
             )
 
             # deactivate walks that ran off the top/left border
@@ -228,21 +236,21 @@ def _make_kernel(J: int, W: int, S: int, OPS: int, end_bonus: int):
             c_op = rc(_R_COP)
             c_len = rc(_R_CLEN)
             o = ops_ref[:, :]
-            flush = c_len > 0
-            slot = jnp.where(flush & (n_o < OPS), n_o, -1)
+            flush = _b(c_len > 0)
+            slot = jnp.where((flush == 1) & (n_o < OPS), n_o, -1)
             o = jnp.where(laneO == slot, (c_len << 4) | c_op, o)
-            ovf2 = jnp.where(flush & (n_o >= OPS), 1, rc(_R_OVF))
-            n_o = n_o + flush.astype(_I32)
+            ovf2 = jnp.where((flush == 1) & (n_o >= OPS), 1, rc(_R_OVF))
+            n_o = n_o + flush
             ops_ref[:, :] = o
             # info cols: 0 n_ops, 1 final_i, 2 final_j, 3 score,
-            # 4 active(started), 5 overflow
+            # 4 started, 5 overflow, 6 start_i, 7 start_j
+            started = _b(rc(_R_SC) > NEG // 2) * _b(n_o > 0)
             info = jnp.zeros((J, 128), _I32)
             info = jnp.where(colR == 0, n_o, info)
             info = jnp.where(colR == 1, rc(_R_I), info)
             info = jnp.where(colR == 2, rc(_R_J), info)
             info = jnp.where(colR == 3, rc(_R_SC), info)
-            started = (rc(_R_SC) > NEG // 2) & (n_o > 0)
-            info = jnp.where(colR == 4, started.astype(_I32), info)
+            info = jnp.where(colR == 4, started, info)
             info = jnp.where(colR == 5, ovf2, info)
             info = jnp.where(colR == 6, rc(_R_I0), info)
             info = jnp.where(colR == 7, rc(_R_J0), info)
