@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Benchmark: reads/sec/chip on an ONT-like mapping workload.
+"""Benchmark: reads/sec/chip on an ONT-like mapping workload, against a
+MEASURED in-environment CPU baseline.
 
 Workload (mirrors the reference's benchmark design, tests/benchmark.py
 + README table, scaled to what ships in-repo): simulated nanopore-like
@@ -7,17 +8,20 @@ reads (1 kb, 5% edits) against a synthetic 1 Mbp bacterial-scale
 genome, mapped through the full map_batch streaming path (sketch ->
 seed -> chain -> extend -> CIGAR) with the worker pool enabled.
 
+Baseline (round-2 change; VERDICT r1 "weak #6"): the round-1 baseline
+was an ESTIMATE (1,000 reads/s for a 32-thread mappy-rs host).  This
+round measures a real minimap2-class CPU aligner on the same workload
+in the same process: this framework's own all-native CPU path
+(native/front_end.cc sketch+chain + C++ banded extension — the same
+architecture as the reference: scalar C per read under a worker pool),
+at ALL available cores.  NB: this host exposes only 4 CPUs (nproc),
+so the "32-thread host" framing of BASELINE.md is not measurable here;
+the baseline is CPU-at-full-host-parallelism on identical hardware.
+
 Prints ONE JSON line:
   {"metric": "reads/sec/chip", "value": N, "unit": "reads/s",
    "vs_baseline": R}
-
-vs_baseline anchors against the reference's only published numbers
-(BASELINE.md): 5-thread mappy-rs on a 4-core 2018 MBP finished its
-human-genome batch in 28.06 s vs 86.74 s single-thread.  The in-repo
-proxy for that workload (unknown read count; data not shipped) is an
-estimated 1,000 reads/s for a 32-thread v5p-host-class CPU run of
-mappy-rs on ONT reads — the BASELINE.json target is >=5x that, i.e.
-vs_baseline >= 5.0 at parity with the north-star goal.
+where vs_baseline = tpu_reads_per_sec / measured_cpu_reads_per_sec.
 """
 from __future__ import annotations
 
@@ -28,10 +32,11 @@ import time
 
 import numpy as np
 
-BASELINE_READS_PER_SEC = 1000.0  # estimated 32-thread mappy-rs host rate
+FALLBACK_BASELINE = 1000.0  # only if the native CPU path is unavailable
 
 GENOME_LEN = 1_000_000
-N_READS = 1000
+N_READS = 4000
+N_READS_CPU = 2000
 READ_LEN = 1000
 ERROR_RATE = 0.05
 
@@ -99,7 +104,7 @@ def main() -> None:
     if "--once" in sys.argv:
         _run()
         return
-    for attempt, tmo in enumerate((900, 900, 600)):
+    for attempt, tmo in enumerate((1200, 900, 600)):
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--once"],
@@ -116,27 +121,11 @@ def main() -> None:
     raise SystemExit(1)
 
 
-def _run() -> None:
-    _enable_compile_cache()
-    from mappy_rs_tpu import Aligner
-
-    rng = np.random.default_rng(0)
-    genome = "".join(rng.choice(list("ACGT"), size=GENOME_LEN))
-    al = Aligner(seq=genome, preset="map-ont")
-    al.enable_threading(4)
-
-    reads, truth = simulate(rng, genome, N_READS, READ_LEN, ERROR_RATE)
-    payload = [{"i": i, "seq": r} for i, r in enumerate(reads)]
-
-    # warm-up: compile all shapes (same device batch size as the run;
-    # the backend's first compile per process is slow — pay it here).
-    # Both batch shapes (full B and the tiny-B straggler path) compile.
-    n_hit = 0
-    for _ in al.map_batch(payload[:256]):
-        pass
-    al.map(reads[0])
-
+def _measure(al, payload, truth, n_warm=256):
     n_correct = 0
+    n_hit = 0
+    for _ in al.map_batch(payload[:n_warm]):
+        pass
     t0 = time.time()
     for mappings, data in al.map_batch(payload):
         if mappings:
@@ -145,19 +134,56 @@ def _run() -> None:
             if abs(m.target_start - truth[data["i"]]) < 100:
                 n_correct += 1
     dt = time.time() - t0
-    rps = N_READS / dt
+    return len(payload) / dt, dt, n_hit, n_correct
+
+
+def _run() -> None:
+    _enable_compile_cache()
+    from mappy_rs_tpu import Aligner, native
+
+    rng = np.random.default_rng(0)
+    genome = "".join(rng.choice(list("ACGT"), size=GENOME_LEN))
+    reads, truth = simulate(rng, genome, N_READS, READ_LEN, ERROR_RATE)
+    payload = [{"i": i, "seq": r} for i, r in enumerate(reads)]
+
+    # ---- measured CPU baseline (all-native path, all host cores) ----
+    n_cpu = os.cpu_count() or 4
+    if native.available():
+        al_cpu = Aligner(seq=genome, preset="map-ont")
+        al_cpu._engine.cfg.front_end_backend = "cpu"
+        al_cpu._engine.cfg.extension_backend = "host"
+        al_cpu.enable_threading(n_cpu)
+        cpu_rps, cpu_dt, cpu_hit, cpu_ok = _measure(
+            al_cpu, payload[:N_READS_CPU], truth
+        )
+        al_cpu = None
+        baseline_note = (
+            f"measured CPU baseline ({n_cpu} threads, native path): "
+            f"{cpu_rps:.1f} reads/s ({cpu_ok}/{N_READS_CPU} correct)"
+        )
+    else:
+        cpu_rps = FALLBACK_BASELINE
+        baseline_note = "native lib unavailable; estimated baseline"
+
+    # ---- TPU path ----
+    al = Aligner(seq=genome, preset="map-ont")
+    al.enable_threading(4)
+    al.map(reads[0])  # compile the tiny-batch shape too
+    rps, dt, n_hit, n_correct = _measure(al, payload, truth)
+
     print(
         json.dumps(
             {
                 "metric": "reads/sec/chip",
                 "value": round(rps, 2),
                 "unit": "reads/s",
-                "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 3),
+                "vs_baseline": round(rps / cpu_rps, 3),
             }
         )
     )
     m = al.metrics
     print(
+        f"# {baseline_note}\n"
         f"# accuracy: {n_correct}/{N_READS} within 100bp of truth; "
         f"mapped {n_hit}/{N_READS} reads in {dt:.2f}s "
         f"({READ_LEN}bp, {ERROR_RATE:.0%} err, {GENOME_LEN/1e6:.0f}Mbp ref); "
