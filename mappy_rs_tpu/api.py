@@ -363,6 +363,17 @@ class Aligner:
             uniq[s] = self._to_mappings(r)
         return [uniq[s] for s in seqs]
 
+    # --- multi-chip full pipeline (no reference analogue) --------------
+    def enable_mesh(self, n_data: int = 0) -> None:
+        """Run the full-CIGAR `map`/`map_batch` pipeline data-parallel
+        over `n_data` local devices (default: all).  The fused device
+        front end (sketch -> seed -> chain) is shard_mapped over a
+        Mesh "data" axis with the index replicated; host finalization
+        is unchanged, so mappings are bitwise-identical to single-chip
+        (BASELINE config 3).  For key-range index sharding (decision
+        mode) see :meth:`enable_sharding`."""
+        self._engine.enable_mesh(n_data)
+
     # --- multi-chip decision mode (no reference analogue) --------------
     def enable_sharding(self, n_data: int = 0, n_index: int = 1) -> None:
         """Shard this aligner across the local device mesh: reads run

@@ -14,7 +14,7 @@ re-bucketed by (query, target, band) size classes.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -53,14 +53,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "k", "w", "M", "A", "chain_params", "chain_window", "use_pallas",
-        "q_occ_frac", "pallas_window",
-    ),
-)
-def _front_end(
+def _front_end_impl(
     codes, lens, sk_lens, hpc_force, hpc_pos_map, hpc_spans,
     key_hi, key_lo, offsets, counts, pos_rid, pos_ps,
     n_keys, mid_occ, k, w, M, A, chain_params, chain_window, use_pallas,
@@ -98,6 +91,50 @@ def _front_end(
     )
     return stacked, jnp.stack(
         [anchors["n"], anchors["n_raw"], anchors["rep_len"]]
+    )
+
+
+_front_end = partial(
+    jax.jit,
+    static_argnames=(
+        "k", "w", "M", "A", "chain_params", "chain_window", "use_pallas",
+        "q_occ_frac", "pallas_window",
+    ),
+)(_front_end_impl)
+
+
+def make_dp_front_end(mesh, is_hpc: bool, **static_kw):
+    """Data-parallel front end: the SAME `_front_end_impl` body wrapped
+    in `jax.shard_map` over the mesh's "data" axis — reads are sharded,
+    the index arrays are replicated, so each device runs exactly the
+    single-chip computation on its read slice (bitwise-identical
+    outputs; BASELINE config 3's data-parallel full-CIGAR pipeline).
+    Downstream (host backtrack -> regions -> extension -> CIGAR) is
+    untouched."""
+    PS = jax.sharding.PartitionSpec
+
+    def inner(codes, lens, sk_lens, hpc_force, hpc_pos_map, hpc_spans,
+              key_hi, key_lo, offsets, counts, pos_rid, pos_ps,
+              n_keys, mid_occ):
+        return _front_end_impl(
+            codes, lens, sk_lens, hpc_force, hpc_pos_map, hpc_spans,
+            key_hi, key_lo, offsets, counts, pos_rid, pos_ps,
+            n_keys, mid_occ, **static_kw,
+        )
+
+    d2 = PS("data", None)
+    d1 = PS("data")
+    r = PS()
+    # for absent (None) hpc args the spec has no leaves to bind; P()
+    # keeps the pytree-prefix structure valid either way
+    hpc_specs = (d2, d2, d2) if is_hpc else (r, r, r)
+    in_specs = (d2, d1, d1) + hpc_specs + (r,) * 8
+    out_specs = (PS(None, "data", None), PS(None, "data"))
+    return jax.jit(
+        jax.shard_map(
+            inner, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
     )
 
 
@@ -184,6 +221,12 @@ class AlignmentEngine:
         # band width class for flank extensions; same class as most mid
         # jobs so extension job groups share compiled kernels
         self.flank_band = 128
+        # optional data-parallel device mesh (enable_mesh): the fused
+        # front end runs shard_map over the "data" axis; everything
+        # downstream is unchanged, so multi-chip map_batch returns
+        # bitwise-identical Mappings to single-chip
+        self.mesh = None
+        self._dp_fes: Dict[tuple, Any] = {}
         self.metrics = EngineMetrics()
         max_gap_ref = opt.max_gap_ref if opt.max_gap_ref >= 0 else opt.max_gap
         self._chain_params = ChainParams(
@@ -283,6 +326,9 @@ class AlignmentEngine:
             max(self.cfg.device_batch_size * 1024 // L, 8)) // 1)
         full_B = min(full_B, self.cfg.device_batch_size)
         B = 8 if B_real <= 8 else full_B
+        if self.mesh is not None:  # shard_map needs B % n_data == 0
+            nd = self.mesh.shape["data"]
+            B = ((B + nd - 1) // nd) * nd
         M = max(64, L // max(w // 2, 1))
         A = max(256, int(L * self.cfg.anchors_per_base))
         A = _pow2_at_least(A) * a_boost
@@ -568,6 +614,42 @@ class AlignmentEngine:
         # is the binding constraint.
         return False
 
+    def enable_mesh(self, n_data: int = 0) -> None:
+        """Run the fused front end data-parallel over `n_data` local
+        devices (shard_map over a Mesh "data" axis, index replicated).
+        The host stages (backtrack, regions, extension, CIGAR) are
+        unchanged, so results match single-chip bitwise."""
+        import jax
+
+        from ..parallel.mesh import make_mesh
+
+        if n_data <= 0:
+            n_data = len(jax.devices())
+        self.mesh = make_mesh(n_data, 1)
+        self._dp_fes = {}
+
+    def _fe_dispatch(self, fe_args):
+        """Dispatch the fused front end: single-device jit, or the
+        cached shard_map'd data-parallel wrapper when a mesh is set."""
+        if self.mesh is None:
+            return _front_end(
+                *fe_args, pallas_window=self.cfg.pallas_chain_window
+            )
+        statics = fe_args[14:]
+        is_hpc = fe_args[3] is not None
+        key = (is_hpc,) + tuple(statics)
+        fe = self._dp_fes.get(key)
+        if fe is None:
+            k, w, M, A, chain_params, chain_window, use_pallas, qof = statics
+            fe = make_dp_front_end(
+                self.mesh, is_hpc, k=k, w=w, M=M, A=A,
+                chain_params=chain_params, chain_window=chain_window,
+                use_pallas=use_pallas, q_occ_frac=qof,
+                pallas_window=self.cfg.pallas_chain_window,
+            )
+            self._dp_fes[key] = fe
+        return fe(*fe_args[:14])
+
     def _front_end_full(self, fe_args, A: int):
         """Host-backtrack front end: download the packed anchor stack.
 
@@ -579,9 +661,7 @@ class AlignmentEngine:
         consumes it directly without a python decode."""
         import jax
 
-        stacked, n_dev = _front_end(
-            *fe_args, pallas_window=self.cfg.pallas_chain_window
-        )
+        stacked, n_dev = self._fe_dispatch(fe_args)
         A_opt = min(128, A)
         arr, n2 = jax.device_get((stacked[:, :, :A_opt], n_dev))
         n2 = np.asarray(n2)

@@ -56,3 +56,49 @@ def test_map_batch_positions_sharded():
     # junk read -> None
     res2 = al.map_batch_positions(["ACGT" * 30])
     assert res2 == [None]
+
+
+def test_map_batch_mesh_identical_mappings():
+    """Full-CIGAR map_batch under enable_mesh(8) must return
+    bitwise-identical Mappings to the single-device path (the mesh
+    shards only the fused front end; host finalization is shared)."""
+    import numpy as np
+
+    import mappy_rs_tpu
+
+    rng = np.random.default_rng(11)
+    genome = "".join(rng.choice(list("ACGT"), size=120_000))
+
+    def simulate(n):
+        reads = []
+        for _ in range(n):
+            s = int(rng.integers(0, len(genome) - 900))
+            seq = list(genome[s : s + 800])
+            for _ in range(40):  # ~5% edits
+                p = int(rng.integers(0, len(seq)))
+                seq[p] = "ACGT"[int(rng.integers(4))]
+            reads.append("".join(seq))
+        return reads
+
+    reads = simulate(24)
+
+    def run(mesh):
+        al = mappy_rs_tpu.Aligner(seq=genome, preset="map-ont")
+        al._engine.cfg.front_end_backend = "device"
+        if mesh:
+            al.enable_mesh(8)
+        out = []
+        for r in reads:
+            out.append(
+                [
+                    (m.ctg, m.r_st, m.r_en, m.q_st, m.q_en, m.strand,
+                     m.mapq, m.cigar_str, m.NM, m.is_primary)
+                    for m in al.map(r, cs=True, MD=True)
+                ]
+            )
+        return out
+
+    single = run(False)
+    multi = run(True)
+    assert single == multi
+    assert sum(1 for r in single if r) >= 22  # the workload actually maps
