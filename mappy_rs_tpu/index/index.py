@@ -47,6 +47,18 @@ class DeviceIndex:
     seq_offsets: object  # int64->int32 [n_seq+1]
     n_keys: int
     log2_keys: int
+    # bucketed key search (mm_idx_t's hash-bucket analogue): the top
+    # `bucket_bits` bits of the key's EFFECTIVE width (minimap2 keys
+    # are hash64 values within 2k bits, so key_hi alone is useless —
+    # bucket id = key64 >> bucket_shift) partition the SORTED key
+    # array into contiguous ranges, so a query needs only
+    # ceil(log2(max_bucket)) binary-search rounds of HBM gathers
+    # instead of log2(n_keys) — the search was the dominant device
+    # front-end cost (~45% at B=1024) with full-table rounds.
+    bucket_start: object = None  # int32 [2^bucket_bits + 1]
+    bucket_bits: int = 0
+    bucket_shift: int = 0
+    bucket_rounds: int = 0
 
 
 @dataclass
@@ -172,6 +184,16 @@ class MinimizerIndex:
         ref = np.full(ref_pad, 4, np.uint8)
         ref[:ref_len] = self.ref_codes
         log2 = max(n_pad - 1, 1).bit_length()
+        # bucket directory over the sorted keys (see DeviceIndex)
+        eff = int(self.keys[-1]).bit_length() if n else 1
+        bb = min(max(max(n, 1).bit_length() - 4, 6), 24, max(eff, 1))
+        shift = max(eff - bb, 0)
+        b_of_key = (self.keys >> np.uint64(shift)).astype(np.int64)
+        bcnts = np.bincount(b_of_key, minlength=1 << bb)
+        bucket_start = np.concatenate(
+            [[0], np.cumsum(bcnts)]
+        ).astype(np.int32)
+        rounds = int(max(int(bcnts.max()) if n else 1, 1).bit_length())
         return DeviceIndex(
             key_hi=jnp.asarray(key_hi),
             key_lo=jnp.asarray(key_lo),
@@ -183,6 +205,10 @@ class MinimizerIndex:
             seq_offsets=jnp.asarray(self.seq_offsets.astype(np.int32)),
             n_keys=n,
             log2_keys=log2,
+            bucket_start=jnp.asarray(bucket_start),
+            bucket_bits=bb,
+            bucket_shift=shift,
+            bucket_rounds=rounds,
         )
 
     # -- conversions ----------------------------------------------------

@@ -55,9 +55,10 @@ import jax.numpy as jnp  # noqa: E402
 
 def _front_end_impl(
     codes, lens, sk_lens, hpc_force, hpc_pos_map, hpc_spans,
-    key_hi, key_lo, offsets, counts, pos_rid, pos_ps,
+    key_hi, key_lo, offsets, counts, pos_rid, pos_ps, bucket_start,
     n_keys, mid_occ, k, w, M, A, chain_params, chain_window, use_pallas,
-    q_occ_frac=0.0, pallas_window=128,
+    q_occ_frac=0.0, bucket_bits=0, bucket_rounds=0, bucket_shift=0,
+    pallas_window=128,
 ):
     """Fused sketch -> seed lookup -> chain: ONE device dispatch per
     batch (the per-call tunnel latency on the dev setup is ~50-100ms,
@@ -72,6 +73,7 @@ def _front_end_impl(
     anchors = collect_anchors(
         mins, lens, key_hi, key_lo, offsets, counts, pos_rid, pos_ps,
         n_keys, mid_occ, A, k, q_occ_frac,
+        bucket_start, bucket_bits, bucket_rounds, bucket_shift,
     )
     if use_pallas:
         f, p = chain_scores_pallas(anchors, chain_params, pallas_window)
@@ -98,7 +100,8 @@ _front_end = partial(
     jax.jit,
     static_argnames=(
         "k", "w", "M", "A", "chain_params", "chain_window", "use_pallas",
-        "q_occ_frac", "pallas_window",
+        "q_occ_frac", "bucket_bits", "bucket_rounds", "bucket_shift",
+        "pallas_window",
     ),
 )(_front_end_impl)
 
@@ -115,11 +118,11 @@ def make_dp_front_end(mesh, is_hpc: bool, **static_kw):
 
     def inner(codes, lens, sk_lens, hpc_force, hpc_pos_map, hpc_spans,
               key_hi, key_lo, offsets, counts, pos_rid, pos_ps,
-              n_keys, mid_occ):
+              bucket_start, n_keys, mid_occ):
         return _front_end_impl(
             codes, lens, sk_lens, hpc_force, hpc_pos_map, hpc_spans,
             key_hi, key_lo, offsets, counts, pos_rid, pos_ps,
-            n_keys, mid_occ, **static_kw,
+            bucket_start, n_keys, mid_occ, **static_kw,
         )
 
     d2 = PS("data", None)
@@ -128,7 +131,7 @@ def make_dp_front_end(mesh, is_hpc: bool, **static_kw):
     # for absent (None) hpc args the spec has no leaves to bind; P()
     # keeps the pytree-prefix structure valid either way
     hpc_specs = (d2, d2, d2) if is_hpc else (r, r, r)
-    in_specs = (d2, d1, d1) + hpc_specs + (r,) * 8
+    in_specs = (d2, d1, d1) + hpc_specs + (r,) * 9
     out_specs = (PS(None, "data", None), PS(None, "data"))
     return jax.jit(
         jax.shard_map(
@@ -143,14 +146,16 @@ def make_dp_front_end(mesh, is_hpc: bool, **static_kw):
     static_argnames=(
         "k", "w", "M", "A", "chain_params", "chain_window", "use_pallas",
         "q_occ_frac", "bt_k", "bt_cuts", "min_cnt", "min_sc",
+        "bucket_bits", "bucket_rounds", "bucket_shift",
         "pallas_window",
     ),
 )
 def _front_end_bt(
     codes, lens, sk_lens, hpc_force, hpc_pos_map, hpc_spans,
-    key_hi, key_lo, offsets, counts, pos_rid, pos_ps,
+    key_hi, key_lo, offsets, counts, pos_rid, pos_ps, bucket_start,
     n_keys, mid_occ, k, w, M, A, chain_params, chain_window, use_pallas,
-    q_occ_frac, bt_k, bt_cuts, min_cnt, min_sc, pallas_window=128,
+    q_occ_frac, bt_k, bt_cuts, min_cnt, min_sc, bucket_bits=0,
+    bucket_rounds=0, bucket_shift=0, pallas_window=128,
 ):
     """_front_end + on-device chain backtracking: the whole seeding and
     chaining path runs in one dispatch and only the compact
@@ -165,6 +170,7 @@ def _front_end_bt(
     anchors = collect_anchors(
         mins, lens, key_hi, key_lo, offsets, counts, pos_rid, pos_ps,
         n_keys, mid_occ, A, k, q_occ_frac,
+        bucket_start, bucket_bits, bucket_rounds, bucket_shift,
     )
     if use_pallas:
         f, p = chain_scores_pallas(anchors, chain_params, pallas_window)
@@ -373,6 +379,7 @@ class AlignmentEngine:
                 self.dev.counts,
                 self.dev.pos_rid,
                 self.dev.pos_ps,
+                self.dev.bucket_start,
                 jnp.int32(self.dev.n_keys),
                 jnp.int32(self.opt.mid_occ),
                 k,
@@ -383,6 +390,9 @@ class AlignmentEngine:
                 self.cfg.chain_window,
                 jax.default_backend() == "tpu",
                 float(self.opt.q_occ_frac),
+                self.dev.bucket_bits,
+                self.dev.bucket_rounds,
+                self.dev.bucket_shift,
             )
             use_bt = self._bt_enabled()
             chains_np = anchors_np = f = p = None
@@ -394,8 +404,10 @@ class AlignmentEngine:
             if use_bt:
                 with self.metrics.timer("front_end"):
                     chains_np, rep_len = jax.device_get(_front_end_bt(
-                        *fe_args, self.cfg.backtrack_k, bt_cuts,
+                        *fe_args[:23], self.cfg.backtrack_k, bt_cuts,
                         self.opt.min_cnt, self.opt.min_chain_score,
+                        bucket_bits=fe_args[23], bucket_rounds=fe_args[24],
+                        bucket_shift=fe_args[25],
                         pallas_window=self.cfg.pallas_chain_window,
                     ))
                     chains_np = np.asarray(chains_np)
@@ -635,20 +647,22 @@ class AlignmentEngine:
             return _front_end(
                 *fe_args, pallas_window=self.cfg.pallas_chain_window
             )
-        statics = fe_args[14:]
+        statics = fe_args[15:]
         is_hpc = fe_args[3] is not None
         key = (is_hpc,) + tuple(statics)
         fe = self._dp_fes.get(key)
         if fe is None:
-            k, w, M, A, chain_params, chain_window, use_pallas, qof = statics
+            (k, w, M, A, chain_params, chain_window, use_pallas, qof,
+             bb, br, bsh) = statics
             fe = make_dp_front_end(
                 self.mesh, is_hpc, k=k, w=w, M=M, A=A,
                 chain_params=chain_params, chain_window=chain_window,
                 use_pallas=use_pallas, q_occ_frac=qof,
+                bucket_bits=bb, bucket_rounds=br, bucket_shift=bsh,
                 pallas_window=self.cfg.pallas_chain_window,
             )
             self._dp_fes[key] = fe
-        return fe(*fe_args[:14])
+        return fe(*fe_args[:15])
 
     def _front_end_full(self, fe_args, A: int):
         """Host-backtrack front end: download the packed anchor stack.

@@ -46,6 +46,22 @@ def _lower_bound_2key(key_hi, key_lo, q_hi, q_lo, n_pad: int):
     return lo
 
 
+def _lower_bound_2key_ranged(key_hi, key_lo, q_hi, q_lo, lo, hi, rounds):
+    """Branchless lower_bound restricted to per-query [lo, hi) ranges
+    (the bucket directory's contiguous slice of the sorted key array).
+    `rounds` must be >= ceil(log2(max range width)); gathers per query
+    drop from 2*log2(n_keys) to 2*(rounds+1) + 2 directory reads."""
+    n_pad = key_hi.shape[0]
+    for _ in range(rounds + 1):
+        mid = jnp.minimum((lo + hi) >> 1, n_pad - 1)
+        mh = key_hi[mid]
+        ml = key_lo[mid]
+        less = (mh < q_hi) | ((mh == q_hi) & (ml < q_lo))
+        lo = jnp.where(less, mid + 1, lo)
+        hi = jnp.where(less, hi, mid)
+    return lo
+
+
 def _searchsorted_rows(prefix, targets):
     """Row-wise 'right' searchsorted: for each target t, the largest i
     with prefix[b, i] <= t.  prefix: int32 [B, M+1] nondecreasing;
@@ -64,7 +80,13 @@ def _searchsorted_rows(prefix, targets):
     return lo
 
 
-@partial(jax.jit, static_argnames=("max_anchors", "span", "q_occ_frac"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "max_anchors", "span", "q_occ_frac", "bucket_bits",
+        "bucket_rounds", "bucket_shift",
+    ),
+)
 def collect_anchors(
     mins: dict,
     qlens: jnp.ndarray,
@@ -79,6 +101,10 @@ def collect_anchors(
     max_anchors: int,
     span: int,
     q_occ_frac: float = 0.0,
+    bucket_start: jnp.ndarray | None = None,
+    bucket_bits: int = 0,
+    bucket_rounds: int = 0,
+    bucket_shift: int = 0,
 ):
     """Expand query minimizers into sorted anchors.
 
@@ -96,7 +122,24 @@ def collect_anchors(
     B, M = q_hi.shape
     n_pad = key_hi.shape[0]
 
-    idx = _lower_bound_2key(key_hi, key_lo, q_hi, q_lo, n_pad)
+    if bucket_start is not None and bucket_bits > 0:
+        # bucket id = key64 >> bucket_shift (see DeviceIndex); invalid
+        # slots carry the 0xFFFF... sentinel key — clamp them into the
+        # last bucket (they find nothing there)
+        s = bucket_shift
+        if s >= 32:
+            b_u = q_hi >> _U32(s - 32)
+        elif s == 0:
+            b_u = q_lo | (q_hi << _U32(0))  # keys must fit 32 bits here
+        else:
+            b_u = (q_lo >> _U32(s)) | (q_hi << _U32(32 - s))
+        b = jnp.minimum(b_u, _U32((1 << bucket_bits) - 1)).astype(_I32)
+        idx = _lower_bound_2key_ranged(
+            key_hi, key_lo, q_hi, q_lo,
+            bucket_start[b], bucket_start[b + 1], bucket_rounds,
+        )
+    else:
+        idx = _lower_bound_2key(key_hi, key_lo, q_hi, q_lo, n_pad)
     idx_c = jnp.minimum(idx, n_pad - 1)
     found = (
         (idx < n_keys)
