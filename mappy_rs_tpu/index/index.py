@@ -86,9 +86,15 @@ class MinimizerIndex:
 
     @property
     def seq_offsets(self) -> np.ndarray:
-        return np.concatenate(
-            [[0], np.cumsum(self.seq_lens.astype(np.int64))]
-        ).astype(np.int64)
+        # cached: hot per-read paths read this; seq_lens is immutable
+        # after construction
+        so = getattr(self, "_seq_offsets_cache", None)
+        if so is None:
+            so = np.concatenate(
+                [[0], np.cumsum(self.seq_lens.astype(np.int64))]
+            ).astype(np.int64)
+            object.__setattr__(self, "_seq_offsets_cache", so)
+        return so
 
     @property
     def name2id(self) -> Dict[str, int]:

@@ -40,6 +40,11 @@ from ..utils.metrics import EngineMetrics
 from ..utils.seqcodes import encode
 
 
+# region part CIGARs are packed int32 (len<<4|op) arrays end-to-end
+# (the extension engines' wire format); this is the canonical "empty"
+_EMPTY_OPS = np.empty(0, np.int32)
+
+
 def _pow2_at_least(n: int, lo: int = 1) -> int:
     p = lo
     while p < n:
@@ -507,24 +512,24 @@ class AlignmentEngine:
                 q0, _q1, t0, _t1 = segs[si]
                 orig_re = r.re
                 orig_qe_a = r._qe_a  # type: ignore[attr-defined]
-                orig_right = getattr(r, "_right", ([], 0, 0, 0))
+                orig_right = getattr(r, "_right", (_EMPTY_OPS, 0, 0, 0))
                 part = r._mid_parts[si]  # type: ignore[attr-defined]
                 self.metrics.add("zdrop_splits", 1)
                 # --- head: truncate r at the max cell ---
-                if part is not None and part[0]:
+                if part is not None and len(part[0]):
                     r._mid_parts = r._mid_parts[: si + 1]
                     r.re = t0 + tc
                     r._qe_a = q0 + qc
                 else:
                     # dropped immediately: end at the segment boundary
                     r._mid_parts = (
-                        r._mid_parts[:si] if si > 0 else [([], 0)]
+                        r._mid_parts[:si] if si > 0 else [(_EMPTY_OPS, 0)]
                     )
                     r.re = t0
                     r._qe_a = q0
                 r._segs = segs[: si + 1]
                 r._mid_zdrop = {}
-                r._right = ([], 0, 0, 0)  # no extension past a drop
+                r._right = (_EMPTY_OPS, 0, 0, 0)  # no extension past a drop
                 # --- remainder: new region from the next segment on ---
                 n_splits = getattr(r, "_n_splits", 0)
                 if si + 1 >= len(segs) or n_splits >= self.MAX_SPLITS:
@@ -580,9 +585,9 @@ class AlignmentEngine:
                             )
                         )
                     else:
-                        rB._left = ([], 0, 0, 0)  # type: ignore[attr-defined]
+                        rB._left = (_EMPTY_OPS, 0, 0, 0)  # type: ignore[attr-defined]
                 else:
-                    rB._left = ([], 0, 0, 0)  # type: ignore[attr-defined]
+                    rB._left = (_EMPTY_OPS, 0, 0, 0)  # type: ignore[attr-defined]
                 add.append(rB)
             regions.extend(add)
         return new_jobs
@@ -596,6 +601,7 @@ class AlignmentEngine:
         md: bool,
     ) -> None:
         min_dp = self.opt.min_dp_max
+        groups = []
         for ri, regions, rl in read_regions:
             # a region survives only if EVERY mid segment aligned
             # (an empty part would silently drop query/ref span)
@@ -603,9 +609,11 @@ class AlignmentEngine:
                 r
                 for r in regions
                 if hasattr(r, "_mid_parts")
-                and all(x is not None and x[0] for x in r._mid_parts)
+                and all(x is not None and len(x[0]) for x in r._mid_parts)
             ]
-            self._finalize(done, codes[ri], cs, md, rep_len=rl)
+            groups.append((ri, done, rl))
+        self._finalize_many(groups, codes, cs, md)
+        for ri, done, rl in groups:
             # minimap2's min_dp_max: drop regions whose DP score is
             # below the floor (the `min_dp_score` ctor kwarg)
             done = [r for r in done if r.dp_score >= min_dp]
@@ -740,9 +748,9 @@ class AlignmentEngine:
                         )
                     )
                 else:
-                    r._left = ([], 0, 0, 0)  # type: ignore[attr-defined]
+                    r._left = (_EMPTY_OPS, 0, 0, 0)  # type: ignore[attr-defined]
             else:
-                r._left = ([], 0, 0, 0)  # type: ignore[attr-defined]
+                r._left = (_EMPTY_OPS, 0, 0, 0)  # type: ignore[attr-defined]
             # right flank
             if qe_a < qlen:
                 tl1 = min(rlen - r.re, (qlen - qe_a) + bw)
@@ -753,9 +761,9 @@ class AlignmentEngine:
                         )
                     )
                 else:
-                    r._right = ([], 0, 0, 0)  # type: ignore[attr-defined]
+                    r._right = (_EMPTY_OPS, 0, 0, 0)  # type: ignore[attr-defined]
             else:
-                r._right = ([], 0, 0, 0)  # type: ignore[attr-defined]
+                r._right = (_EMPTY_OPS, 0, 0, 0)  # type: ignore[attr-defined]
         return jobs
 
     SEG_LEN = 384  # target query length per mid segment
@@ -943,10 +951,10 @@ class AlignmentEngine:
                     )
                     if cigs is None:
                         cigs = [
-                            cig.traceback_one(
+                            cig.pack_ops(cig.traceback_one(
                                 dirs[:, ji, :], int(ql[ji]), int(tl[ji]),
                                 W, s_i, s_j,
-                            )
+                            ))
                             for (ji, s_i, s_j, _) in starts
                         ]
                 for (ji, s_i, s_j, sc), c in zip(starts, cigs or []):
@@ -988,7 +996,7 @@ class AlignmentEngine:
                 parts.append((fi + 1, 1))
             raw = ops_tab[ji, :n_o][::-1]
             parts.extend((int(v) >> 4, int(v) & 0xF) for v in raw)
-            c = cig.merge_cigars([parts])
+            c = cig.pack_ops(cig.merge_cigars([parts]))
             if job.kind == "mid":
                 job.region._mid_parts[job.seg] = (c, sc)  # type: ignore[attr-defined]
             else:
@@ -1048,7 +1056,7 @@ class AlignmentEngine:
                             # caller splits the region (mm_align1's
                             # zdrop chimeric-split semantics)
                             j.region._mid_zdrop[j.seg] = (qc, tc)  # type: ignore[attr-defined]
-                    elif ops or sc > 0:
+                    elif len(ops) or sc > 0:
                         setattr(j.region, f"_{j.kind}", (ops, sc, qc, tc))
                     else:
                         self._store_empty(j)
@@ -1082,7 +1090,7 @@ class AlignmentEngine:
                 for j, (ops, sc, qc, tc) in zip(sel, res):
                     if mode == 0:
                         j.region._mid_parts[j.seg] = (ops, sc)  # type: ignore[attr-defined]
-                    elif ops or sc > 0:
+                    elif len(ops) or sc > 0:
                         setattr(j.region, f"_{j.kind}", (ops, sc, qc, tc))
                     else:
                         self._store_empty(j)
@@ -1090,91 +1098,136 @@ class AlignmentEngine:
     def _store_empty(self, job: _ExtJob) -> None:
         r = job.region
         if job.kind == "mid":
-            r._mid_parts[job.seg] = ([], 0)  # type: ignore[attr-defined]
+            r._mid_parts[job.seg] = (_EMPTY_OPS, 0)  # type: ignore[attr-defined]
         elif job.kind == "left":
-            r._left = ([], 0, 0, 0)  # type: ignore[attr-defined]
+            r._left = (_EMPTY_OPS, 0, 0, 0)  # type: ignore[attr-defined]
         else:
-            r._right = ([], 0, 0, 0)  # type: ignore[attr-defined]
+            r._right = (_EMPTY_OPS, 0, 0, 0)  # type: ignore[attr-defined]
 
     # ------------------------------------------------------------------
-    def _finalize(
+    def _finalize_many(
         self,
-        regions: List[Region],
-        codes: np.ndarray,
+        groups: List[Tuple[int, List[Region], int]],
+        codes: List[np.ndarray],
         cs: bool,
         md: bool,
-        rep_len: int = 0,
     ) -> None:
+        """Finalize every surviving region of a device batch at once:
+        one python coordinate pass, ONE native finalize_batch call
+        (CIGAR merge + stats + cs/MD for all regions of all reads),
+        then the per-read set_parent/set_mapq tails.  Per-read native
+        calls were the dominant host cost at high read rates (ctypes
+        crossing + string buffer churn per read)."""
+        from .. import native
+
         ref = self.index.ref_codes
         offs = self.index.seq_offsets
-        qlen = len(codes)
-        for r in regions:
-            parts = getattr(r, "_mid_parts", [([], 0)])
-            mid_c = cig.merge_cigars([c for c, _ in parts])
-            mid_sc = sum(sc for _, sc in parts)
-            left = getattr(r, "_left", ([], 0, 0, 0))
-            right = getattr(r, "_right", ([], 0, 0, 0))
-            lc, lsc, lq, lt = left
-            rc, rsc, rq, rt = right
-            full = cig.merge_cigars([cig.reverse_cigar(lc), mid_c, rc])
-            r.cigar = full
-            r.dp_score = mid_sc + lsc + rsc
-            r.dp_max = r.dp_score
-            qs_a, qe_a = r._qs_a, r._qe_a  # type: ignore[attr-defined]
-            r.q_st_a = qs_a - lq
-            r.q_en_a = qe_a + rq
-            r.r_st = r.rs - lt
-            r.r_en = r.re + rt
-            # stats over the aligned slices
-            q_al = r._q_al  # type: ignore[attr-defined]
-            roff = int(offs[r.rid])
-            qseg = q_al[r.q_st_a : r.q_en_a]
-            tseg = ref[roff + r.r_st : roff + r.r_en]
-            # stats + tag strings: C++ fast path, python oracle fallback
-            from .. import native
-
-            st = native.cigar_stats(full, qseg, tseg) if native.available() else None
-            r.mlen, r.blen, r.nm = (
-                st if st is not None else cig.cigar_stats(full, qseg, tseg)
+        # pass 1 (pure python, cheap): final coords + part lists.
+        # Part CIGARs arrive packed (int32 len<<4|op) from the
+        # extension engines; they stay packed into the native finalize.
+        flat: List[Region] = []
+        all_parts: List[np.ndarray] = []
+        part_rev: List[int] = []
+        reg_off: List[int] = [0]
+        qsegs: List[np.ndarray] = []
+        t_off_l: List[int] = []
+        t_len_l: List[int] = []
+        for ri, regions, _rl in groups:
+            qlen = len(codes[ri])
+            for r in regions:
+                parts = getattr(r, "_mid_parts", [(_EMPTY_OPS, 0)])
+                mid_sc = sum(sc for _, sc in parts)
+                left = getattr(r, "_left", (_EMPTY_OPS, 0, 0, 0))
+                right = getattr(r, "_right", (_EMPTY_OPS, 0, 0, 0))
+                lc, lsc, lq, lt = left
+                rc, rsc, rq, rt = right
+                r.dp_score = mid_sc + lsc + rsc
+                r.dp_max = r.dp_score
+                qs_a, qe_a = r._qs_a, r._qe_a  # type: ignore[attr-defined]
+                r.q_st_a = qs_a - lq
+                r.q_en_a = qe_a + rq
+                r.r_st = r.rs - lt
+                r.r_en = r.re + rt
+                all_parts.append(lc)
+                part_rev.append(1)  # left flank was walked outward
+                for c, _ in parts:
+                    all_parts.append(c)
+                    part_rev.append(0)
+                all_parts.append(rc)
+                part_rev.append(0)
+                reg_off.append(len(all_parts))
+                q_al = r._q_al  # type: ignore[attr-defined]
+                roff = int(offs[r.rid])
+                qsegs.append(q_al[r.q_st_a : r.q_en_a])
+                t_off_l.append(roff + r.r_st)
+                t_len_l.append(r.r_en - r.r_st)
+                # read-forward query coords
+                if r.rev == 0:
+                    r.qs, r.qe = r.q_st_a, r.q_en_a
+                else:
+                    r.qs, r.qe = qlen - r.q_en_a, qlen - r.q_st_a
+                r.rs, r.re = r.r_st, r.r_en
+                flat.append(r)
+        t_off = np.asarray(t_off_l, np.int64)
+        t_len = np.asarray(t_len_l, np.int64)
+        # pass 2: merge + stats + cs/MD for the whole region batch in
+        # one native call (or the python oracle if the lib is absent)
+        res = (
+            native.finalize_batch(
+                [cig.pack_ops(p) for p in all_parts],
+                np.asarray(part_rev, np.uint8),
+                np.asarray(reg_off, np.int32),
+                qsegs, ref, t_off, t_len, cs, md,
             )
-            if cs:
-                r.cs = (
-                    native.gen_cs(full, qseg, tseg)
-                    if native.available() else None
-                )
-                if r.cs is None:
-                    r.cs = cig.gen_cs(full, qseg, tseg)
-            if md:
-                r.md = (
-                    native.gen_md(full, qseg, tseg)
-                    if native.available() else None
-                )
-                if r.md is None:
-                    r.md = cig.gen_md(full, qseg, tseg)
-            # read-forward query coords
-            if r.rev == 0:
-                r.qs, r.qe = r.q_st_a, r.q_en_a
-            else:
-                r.qs, r.qe = qlen - r.q_en_a, qlen - r.q_st_a
-            r.rs, r.re = r.r_st, r.r_en
-        # minimap2 re-runs mm_set_parent on ALIGNED coordinates before
-        # mm_set_mapq (extension can shift qs/qe enough to change the
-        # primary/secondary partition) — mirror that here.
-        set_parent(regions, self.opt.mask_level, self.opt.mask_len)
-        # dp_max2: best DP score among each primary's secondaries —
-        # the DP-branch discriminator in mm_set_mapq
-        by_id = {r.id: r for r in regions}
-        for r in regions:
-            r.dp_max2 = 0
-        for r in regions:
-            if r.parent != r.id:
-                parent = by_id.get(r.parent)
-                if parent is not None and r.dp_score > parent.dp_max2:
-                    parent.dp_max2 = r.dp_score
-        set_mapq(
-            regions, self.opt, rep_len=rep_len,
-            is_sr=bool(self.opt.flag & _MM_F_SR),
+            if flat and native.available() else None
         )
+        if res is not None:
+            merged, stats, cs_strs, md_strs = res
+            for gi, r in enumerate(flat):
+                r.cigar = cig.unpack_ops(merged[gi])
+                r.mlen, r.blen, r.nm = (
+                    int(stats[gi, 0]), int(stats[gi, 1]), int(stats[gi, 2])
+                )
+                if cs:
+                    r.cs = cs_strs[gi]
+                if md:
+                    r.md = md_strs[gi]
+        else:
+            for gi, r in enumerate(flat):
+                parts_l = [
+                    cig.unpack_ops(p)
+                    for p in all_parts[reg_off[gi] : reg_off[gi + 1]]
+                ]
+                full = cig.merge_cigars(
+                    [cig.reverse_cigar(parts_l[0])] + parts_l[1:]
+                )
+                r.cigar = full
+                qseg = qsegs[gi]
+                tseg = ref[int(t_off[gi]) : int(t_off[gi] + t_len[gi])]
+                r.mlen, r.blen, r.nm = cig.cigar_stats(full, qseg, tseg)
+                if cs:
+                    r.cs = cig.gen_cs(full, qseg, tseg)
+                if md:
+                    r.md = cig.gen_md(full, qseg, tseg)
+        for _ri, regions, rep_len in groups:
+            # minimap2 re-runs mm_set_parent on ALIGNED coordinates
+            # before mm_set_mapq (extension can shift qs/qe enough to
+            # change the primary/secondary partition) — mirror that.
+            set_parent(regions, self.opt.mask_level, self.opt.mask_len)
+            # dp_max2: best DP score among each primary's secondaries —
+            # the DP-branch discriminator in mm_set_mapq
+            by_id = {r.id: r for r in regions}
+            for r in regions:
+                r.dp_max2 = 0
+            for r in regions:
+                if r.parent != r.id:
+                    parent = by_id.get(r.parent)
+                    if parent is not None and r.dp_score > parent.dp_max2:
+                        parent.dp_max2 = r.dp_score
+            set_mapq(
+                regions, self.opt, rep_len=rep_len,
+                is_sr=bool(self.opt.flag & _MM_F_SR),
+            )
 
 
 def _revcomp(codes: np.ndarray) -> np.ndarray:

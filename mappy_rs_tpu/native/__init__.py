@@ -132,6 +132,17 @@ def _load() -> Optional[ctypes.CDLL]:
         + [ctypes.c_int32] * 7
         + [np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
     )
+    _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    _i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    _u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.finalize_batch.argtypes = [
+        _i32p, _i64p, _u8p, _i32p,          # ops_concat, part_off, part_rev, reg_part_off
+        _u8p, _i64p, _u8p, _i64p,           # q_concat, q_off, ref, t_off
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,  # R, want_cs, want_md
+        _i32p, _i32p, _i32p,                # out_ops, out_nops, out_stats
+        ctypes.c_char_p, _i64p, _i64p,      # cs_buf, cs_off, cs_len
+        ctypes.c_char_p, _i64p, _i64p,      # md_buf, md_off, md_len
+    ]
     lib.fastx_scan.restype = ctypes.c_int64
     lib.fastx_scan.argtypes = [
         ctypes.c_char_p,
@@ -221,7 +232,9 @@ def backtrack_compact_batch(
 
 
 def pack_ops(cig) -> np.ndarray:
-    """[(n, op)] -> packed int32 n<<4|op array."""
+    """[(n, op)] (or already-packed array) -> packed int32 n<<4|op."""
+    if isinstance(cig, np.ndarray):
+        return np.ascontiguousarray(cig, np.int32)
     return np.fromiter(
         ((n << 4) | op for n, op in cig), np.int32, count=len(cig)
     )
@@ -233,7 +246,7 @@ def gen_cs(cig, qcodes: np.ndarray, tcodes: np.ndarray) -> Optional[str]:
     if lib is None:
         return None
     ops = pack_ops(cig)
-    blen = sum(n for n, _ in cig)
+    blen = int((ops >> 4).sum())
     cap = 4 * blen + 64
     buf = ctypes.create_string_buffer(cap)
     n = lib.gen_cs_native(
@@ -251,7 +264,7 @@ def gen_md(cig, qcodes: np.ndarray, tcodes: np.ndarray) -> Optional[str]:
     if lib is None:
         return None
     ops = pack_ops(cig)
-    blen = sum(n for n, _ in cig)
+    blen = int((ops >> 4).sum())
     cap = 4 * blen + 64
     buf = ctypes.create_string_buffer(cap)
     n = lib.gen_md_native(
@@ -277,6 +290,94 @@ def cigar_stats(
         np.ascontiguousarray(tcodes, np.uint8), out,
     )
     return int(out[0]), int(out[1]), int(out[2])
+
+
+def finalize_batch(
+    parts: List[np.ndarray],   # packed int32 ops, all regions, in order
+    part_rev: np.ndarray,      # uint8 [P]: iterate part reversed
+    reg_part_off: np.ndarray,  # int32 [R+1] part ranges per region
+    qsegs: List[np.ndarray],   # uint8 query segment per region
+    ref_codes: np.ndarray,     # uint8 whole packed reference
+    t_off: np.ndarray,         # int64 [R] absolute target start offsets
+    t_len: np.ndarray,         # int64 [R] target segment lengths
+    want_cs: bool,
+    want_md: bool,
+):
+    """Batched region finalize (merge parts + stats + cs/MD) in ONE
+    C++ call per device batch.  Returns (merged packed ops per region,
+    stats [R,3] int32, cs list|None, md list|None), or None if the
+    native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    R = len(t_off)
+    P = len(parts)
+    part_off = np.zeros(P + 1, np.int64)
+    for i, p in enumerate(parts):
+        part_off[i + 1] = part_off[i] + len(p)
+    total = int(part_off[-1])
+    ops_concat = (
+        np.concatenate(parts).astype(np.int32, copy=False)
+        if total else np.zeros(1, np.int32)
+    )
+    q_off = np.zeros(R + 1, np.int64)
+    for i, q in enumerate(qsegs):
+        q_off[i + 1] = q_off[i] + len(q)
+    q_concat = (
+        np.concatenate(qsegs) if int(q_off[-1]) else np.zeros(1, np.uint8)
+    )
+    out_ops = np.empty(max(total, 1), np.int32)
+    out_nops = np.zeros(R, np.int32)
+    out_stats = np.zeros(3 * R, np.int32)
+    # cs/MD caps: worst case ~3 bytes/base + run numbers; 4*span+64 is
+    # a safe bound, so the C side never reports truncation
+    qlens = np.diff(q_off)
+    caps = 4 * (qlens + t_len) + 64
+    cs_off = np.zeros(R + 1, np.int64)
+    md_off = np.zeros(R + 1, np.int64)
+    if want_cs:
+        np.cumsum(caps, out=cs_off[1:])
+    if want_md:
+        np.cumsum(caps, out=md_off[1:])
+    cs_buf = ctypes.create_string_buffer(max(int(cs_off[-1]), 1))
+    md_buf = ctypes.create_string_buffer(max(int(md_off[-1]), 1))
+    cs_len = np.zeros(R, np.int64)
+    md_len = np.zeros(R, np.int64)
+    lib.finalize_batch(
+        ops_concat, part_off,
+        np.ascontiguousarray(part_rev, np.uint8),
+        np.ascontiguousarray(reg_part_off, np.int32),
+        q_concat, q_off, ref_codes,
+        np.ascontiguousarray(t_off, np.int64),
+        R, int(want_cs), int(want_md),
+        out_ops, out_nops, out_stats,
+        cs_buf, cs_off, cs_len, md_buf, md_off, md_len,
+    )
+    merged = []
+    for i in range(R):
+        s = int(part_off[reg_part_off[i]])
+        merged.append(out_ops[s : s + int(out_nops[i])])
+    cs_raw = cs_buf.raw if want_cs else b""
+    md_raw = md_buf.raw if want_md else b""
+    cs_strs = (
+        [
+            cs_raw[int(cs_off[i]) : int(cs_off[i]) + int(cs_len[i])].decode(
+                "ascii"
+            )
+            for i in range(R)
+        ]
+        if want_cs else None
+    )
+    md_strs = (
+        [
+            md_raw[int(md_off[i]) : int(md_off[i]) + int(md_len[i])].decode(
+                "ascii"
+            )
+            for i in range(R)
+        ]
+        if want_md else None
+    )
+    return merged, out_stats.reshape(R, 3), cs_strs, md_strs
 
 
 def front_end_batch(
@@ -353,11 +454,7 @@ def traceback_batch(
     )
     if (out_n < 0).any():
         return None
-    res = []
-    for j in range(J):
-        ops = out_ops[j, : out_n[j]]
-        res.append([(int(v) >> 4, int(v) & 0xF) for v in ops])
-    return res
+    return [out_ops[j, : out_n[j]].copy() for j in range(J)]
 
 
 def extend_small_batch(
@@ -395,8 +492,8 @@ def extend_small_batch(
         n = int(out_n[j])
         if n < 0:
             return None  # overflow; caller falls back
-        ops = [(int(v) >> 4, int(v) & 0xF) for v in out_ops[j, :n]]
-        res.append((ops, int(out_info[j, 0]), int(out_info[j, 1]), int(out_info[j, 2])))
+        res.append((out_ops[j, :n].copy(), int(out_info[j, 0]),
+                    int(out_info[j, 1]), int(out_info[j, 2])))
     return res
 
 
@@ -439,9 +536,11 @@ def extend_banded_batch(
         n = int(out_n[j])
         if n < 0:
             return None
-        ops = [(int(v) >> 4, int(v) & 0xF) for v in out_ops[j, :n]]
+        # packed (len<<4|op) int32 array — stays packed end-to-end
+        # through region parts and finalize_batch (no python tuples)
         res.append(
-            (ops, int(out_info[j, 0]), int(out_info[j, 1]),
-             int(out_info[j, 2]), int(out_info[j, 3]))
+            (out_ops[j, :n].copy(), int(out_info[j, 0]),
+             int(out_info[j, 1]), int(out_info[j, 2]),
+             int(out_info[j, 3]))
         )
     return res

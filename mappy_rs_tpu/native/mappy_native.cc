@@ -624,6 +624,74 @@ void cigar_stats(const int32_t* ops, int n_ops, const uint8_t* q,
   out[2] = (int32_t)nm;
 }
 
+// Batched region finalize: for R regions, merge each region's part
+// CIGARs (left flank reversed, mid segments, right flank) into one
+// run-length-merged op array, then compute stats and (optionally) the
+// cs / MD tag strings — all in ONE call so the Python worker pays
+// one ctypes crossing per device batch instead of ~6 per read.
+//
+//   ops_concat/part_off[P+1]: packed (len<<4|op) ops of every part,
+//     concatenated; part_rev[P] nonzero => iterate that part reversed
+//   reg_part_off[R+1]: parts p in [reg_part_off[i], reg_part_off[i+1])
+//     belong to region i (contiguous, in merge order)
+//   q_concat/q_off[R+1]: strand-oriented query segment per region
+//     (q_al[q_st_a:q_en_a])
+//   ref/t_off[R]: target segment = ref + t_off[i] (absolute offset)
+//   out_ops: caller-allocated, same size as ops_concat; region i's
+//     merged ops are written at ops offset part_off[reg_part_off[i]]
+//     (merging never grows the op count), out_nops[i] = count
+//   out_stats[R*3]: mlen, blen, NM per region
+//   cs_buf/cs_off[R+1]/cs_len[R]: per-region cs string (want_cs);
+//     cs_len = -1 if the region's slice was too small (caller retries)
+//   md_buf/md_off/md_len: same for MD (want_md)
+void finalize_batch(
+    const int32_t* ops_concat, const int64_t* part_off,
+    const uint8_t* part_rev, const int32_t* reg_part_off,
+    const uint8_t* q_concat, const int64_t* q_off, const uint8_t* ref,
+    const int64_t* t_off, int R, int want_cs, int want_md,
+    int32_t* out_ops, int32_t* out_nops, int32_t* out_stats,
+    char* cs_buf, const int64_t* cs_off, int64_t* cs_len,
+    char* md_buf, const int64_t* md_off, int64_t* md_len) {
+  for (int i = 0; i < R; ++i) {
+    int p0 = reg_part_off[i], p1 = reg_part_off[i + 1];
+    int64_t w0 = part_off[p0];
+    int32_t* out = out_ops + w0;
+    int64_t n_out = 0;
+    for (int p = p0; p < p1; ++p) {
+      int64_t a = part_off[p], b = part_off[p + 1];
+      if (part_rev[p]) {
+        for (int64_t x = b - 1; x >= a; --x) {
+          int32_t v = ops_concat[x];
+          if ((v >> 4) <= 0) continue;
+          if (n_out && (out[n_out - 1] & 0xF) == (v & 0xF))
+            out[n_out - 1] += (v >> 4) << 4;
+          else
+            out[n_out++] = v;
+        }
+      } else {
+        for (int64_t x = a; x < b; ++x) {
+          int32_t v = ops_concat[x];
+          if ((v >> 4) <= 0) continue;
+          if (n_out && (out[n_out - 1] & 0xF) == (v & 0xF))
+            out[n_out - 1] += (v >> 4) << 4;
+          else
+            out[n_out++] = v;
+        }
+      }
+    }
+    out_nops[i] = (int32_t)n_out;
+    const uint8_t* q = q_concat + q_off[i];
+    const uint8_t* t = ref + t_off[i];
+    cigar_stats(out, (int)n_out, q, t, out_stats + 3 * i);
+    if (want_cs)
+      cs_len[i] = gen_cs_native(out, (int)n_out, q, t, cs_buf + cs_off[i],
+                                cs_off[i + 1] - cs_off[i]);
+    if (want_md)
+      md_len[i] = gen_md_native(out, (int)n_out, q, t, md_buf + md_off[i],
+                                md_off[i + 1] - md_off[i]);
+  }
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------

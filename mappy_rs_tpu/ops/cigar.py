@@ -95,6 +95,25 @@ def reverse_cigar(cig: List[Tuple[int, int]]) -> List[Tuple[int, int]]:
     return list(reversed(cig))
 
 
+def pack_ops(cig) -> np.ndarray:
+    """[(n, op)] (or already-packed array) -> packed int32 n<<4|op
+    array (the native/extension wire format; region parts stay packed
+    end-to-end)."""
+    if isinstance(cig, np.ndarray):
+        return np.ascontiguousarray(cig, np.int32)
+    return np.fromiter(
+        ((n << 4) | op for n, op in cig), np.int32, count=len(cig)
+    )
+
+
+def unpack_ops(arr) -> List[Tuple[int, int]]:
+    """Packed int32 n<<4|op array (or already-unpacked list) ->
+    [(n, op)] tuples (the public Mapping.cigar format)."""
+    if isinstance(arr, np.ndarray):
+        return [(int(v) >> 4, int(v) & 0xF) for v in arr]
+    return arr
+
+
 def cigar_spans(cig: List[Tuple[int, int]]) -> Tuple[int, int]:
     """(query_span, ref_span) consumed by the CIGAR."""
     q = sum(n for n, op in cig if op in (0, 1))

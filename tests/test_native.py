@@ -3,7 +3,7 @@ import numpy as np
 import pytest
 
 from mappy_rs_tpu import native
-from mappy_rs_tpu.ops.cigar import traceback_one
+from mappy_rs_tpu.ops.cigar import traceback_one, unpack_ops
 from mappy_rs_tpu.ops.extend import ExtendParams, extend_dp
 from mappy_rs_tpu.utils.seqcodes import encode as py_encode
 
@@ -47,7 +47,8 @@ def test_native_traceback_matches_python():
     for i in range(J):
         exp = traceback_one(dirs[:, i, :], int(ql[i]), int(tl[i]), W,
                             int(ql[i]) - 1, int(tl[i]) - 1)
-        assert got[i] == exp, f"job {i}"
+        # traceback_batch returns packed int32 (len<<4|op) arrays
+        assert unpack_ops(got[i]) == exp, f"job {i}"
 
 
 @pytest.mark.skipif(not native.available(), reason="native lib not built")
@@ -92,6 +93,7 @@ def test_native_small_dp_matches_device_path():
         dirs = np.asarray(dev["dirs"])
         for i in range(J):
             ops, sc, qc, tc = got[i]
+            ops = unpack_ops(ops)
             if mode == 0:
                 exp_sc = int(dev["end_sc"][i])
                 exp = traceback_one(
@@ -160,6 +162,7 @@ def test_native_banded_matches_device_path():
         assert got is not None
         for i in range(J):
             ops, sc, qc, tc, _zflag = got[i]
+            ops = unpack_ops(ops)
             if mode == 0:
                 assert sc == int(dev["end_sc"][i]), f"job {i} end_sc"
                 exp = traceback_one(
