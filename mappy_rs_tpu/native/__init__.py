@@ -71,6 +71,7 @@ def _load() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         ]
     )
+    lib.extend_set_force_scalar.argtypes = [ctypes.c_int]
     lib.extend_banded_batch.argtypes = (
         [np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")] * 2
         + [np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")] * 2
@@ -156,6 +157,14 @@ def _load() -> Optional[ctypes.CDLL]:
     ] * 4
     _lib = lib
     return _lib
+
+
+def set_force_scalar_band(v: bool) -> None:
+    """Test hook: force the scalar band fill in extend_banded_batch
+    (the AVX-512/scalar equivalence tests flip this to compare)."""
+    lib = _load()
+    if lib is not None:
+        lib.extend_set_force_scalar(int(v))
 
 
 def available() -> bool:

@@ -13,6 +13,11 @@
 #include <algorithm>
 #include <vector>
 
+#if defined(__AVX512BW__) && defined(__AVX512VL__)
+#include <immintrin.h>
+#define MAPPY_AVX512 1
+#endif
+
 namespace {
 
 // direction byte layout (must match ops/extend.py)
@@ -246,36 +251,35 @@ void extend_small_batch(const uint8_t* qs, const uint8_t* ts,
   }
 }
 
-// BANDED dual-affine DP + traceback, host-side, same static
-// anti-diagonal band as the device kernels (lane d of diagonal s is
-// row i = band_lo(s)+d).  Bit-compatible with ops/extend.py /
-// extend_pallas.py: same borders, precedence, continue flags, and
-// tracker tie rules (smallest (s, i) among equals for best cell,
-// smallest s for the last-row tracker).  Used as the extension engine
-// when device->host transfer is the bottleneck (tunnel-attached dev
-// chips move ~0.4MB/s down; the dirs tensor is tens of MB).
-void extend_banded_batch(const uint8_t* qs, const uint8_t* ts,
-                         const int32_t* qlen, const int32_t* tlen,
-                         int J, int QSTRIDE, int TSTRIDE, int W,
-                         int a, int b, int gq, int ge, int gq2, int ge2,
-                         int sc_ambi, int end_bonus, int mode, int zdrop,
-                         int32_t* out_ops, int32_t* out_n, int max_ops,
-                         int32_t* out_info) {
-  const int32_t NEGI = -(1 << 28);
-  for (int job = 0; job < J; ++job) {
-    int Q = qlen[job], T = tlen[job];
-    const uint8_t* q = qs + (int64_t)job * QSTRIDE;
-    const uint8_t* t = ts + (int64_t)job * TSTRIDE;
-    int32_t* ops = out_ops + (int64_t)job * max_ops;
-    int32_t* info = out_info + (int64_t)job * 4;
-    out_n[job] = 0;
-    info[0] = info[1] = info[2] = info[3] = 0;
-    if (Q <= 0 || T <= 0) continue;
-    int S = Q + T - 1;
-    // band state with 2-lane sentinel padding on both sides so the
-    // du/dl/dd_ accesses never branch (lane d lives at index d+2);
-    // separate allocations so __restrict__ holds for vectorization
-    const int PW = W + 4;
+}  // extern "C"
+
+// ---------------------------------------------------------------------
+// Banded dual-affine band fill: scalar reference + AVX-512 fast path.
+// Both produce byte-identical `dir` rows and identical tracker values
+// for every observable (real) cell; the SIMD path is selected per job
+// when the score range provably fits int16 (see simd_fits).
+
+namespace {
+
+struct Trackers {
+  int32_t best_sc, best_i, best_j, g_sc, g_j, end_sc;
+};
+
+constexpr int32_t NEGI_BAND = -(1 << 28);
+
+// Scalar band fill (the reference implementation; also the fallback
+// for hosts without AVX-512BW and for jobs whose score range exceeds
+// the int16 domain of the SIMD path).
+void band_fill_scalar(const uint8_t* q, const uint8_t* t, int Q, int T,
+                      int W, int a, int b, int gq, int ge, int gq2,
+                      int ge2, int sc_ambi, int mode, int zdrop,
+                      uint8_t* dir_out, Trackers* tk) {
+  const int32_t NEGI = NEGI_BAND;
+  int S = Q + T - 1;
+  // band state with 2-lane sentinel padding on both sides so the
+  // du/dl/dd_ accesses never branch (lane d lives at index d+2);
+  // separate allocations so __restrict__ holds for vectorization
+  const int PW = W + 4;
     std::vector<int32_t> vH1(PW, NEGI), vE1(PW, NEGI), vE2(PW, NEGI),
         vF1(PW, NEGI), vF2(PW, NEGI), vH2(PW, NEGI), vH1n(PW, NEGI),
         vE1n(PW, NEGI), vE2n(PW, NEGI), vF1n(PW, NEGI), vF2n(PW, NEGI);
@@ -288,7 +292,6 @@ void extend_banded_batch(const uint8_t* qs, const uint8_t* ts,
     auto reset_sentinels = [&](int32_t* base) {
       base[-2] = base[-1] = base[W] = base[W + 1] = NEGI;
     };
-    std::vector<uint8_t> dir((int64_t)S * W, 0);
     auto gap = [&](long l) {
       long g1 = gq + l * ge, g2 = gq2 + l * ge2;
       return (int32_t)(g1 < g2 ? g1 : g2);
@@ -311,7 +314,7 @@ void extend_banded_batch(const uint8_t* qs, const uint8_t* ts,
       for (int d = (d_hi < -1 ? 0 : d_hi + 1); d < W; ++d)
         H1n[d] = E1n[d] = E2n[d] = F1n[d] = F2n[d] = NEGI;
       const int ou = d1 - 1, ol = d1, od = d2 - 1;
-      uint8_t* drow = dir.data() + (int64_t)s * W;
+      uint8_t* drow = dir_out + (int64_t)s * W;
       const uint8_t* trow = t + (s - lo);  // t[j] = trow[-d]
       const uint8_t* qrow = q + lo;
       // branch-free interior sweep (auto-vectorizable)
@@ -440,6 +443,379 @@ void extend_banded_batch(const uint8_t* qs, const uint8_t* ts,
           break;
       }
     }
+  tk->best_sc = best_sc;
+  tk->best_i = best_i;
+  tk->best_j = best_j;
+  tk->g_sc = g_sc;
+  tk->g_j = g_j;
+  tk->end_sc = end_sc;
+}
+
+#if defined(MAPPY_AVX512)
+
+// int16 score-domain guard for the AVX-512 fill.  All junk
+// (band-edge sentinel descendant) values evolve EXACTLY offset from
+// the int32 engine's (same max/add ops, constant initial offset), so
+// every comparison decides identically as long as (a) no int16
+// saturation occurs anywhere and (b) real scores never dip into the
+// junk range.  Junk H stays within [NEG16 - 6*S, NEG16 + 2*S]; real H
+// is bounded below by -(mismatch diag + one gap) and above by
+// a*min(Q,T)+end_bonus.  The JUNK_CUT threshold separates the two.
+constexpr int16_t NEG16 = -16000;
+constexpr int32_t JUNK_CUT16 = -12000;
+
+inline bool simd_fits(int Q, int T, int W, int a, int b, int gq, int ge,
+                      int gq2, int ge2, int sc_ambi, int end_bonus) {
+  if (W % 32 != 0 || W <= 0) return false;
+  long qt = (long)Q + T;
+  if (qt > 3500) return false;  // junk drift + real range headroom
+  long mm = (long)(b > sc_ambi ? b : sc_ambi);
+  long gap1 = (long)gq + (long)ge * qt;
+  long gap2 = (long)gq2 + (long)ge2 * qt;
+  long worst = mm * (Q < T ? Q : T) + (gap1 > gap2 ? gap1 : gap2);
+  long best = (long)a * (Q < T ? Q : T) + end_bonus;
+  // real H in (-worst, best); E/F extend at most one more full gap
+  // below real H.  Require real H > JUNK_CUT16 with margin and all
+  // magnitudes far from int16 saturation.
+  return worst < 10000 && best < 14000;
+}
+
+inline int16_t reduce_max_epi16(__m512i v) {
+  alignas(64) int16_t tmp[32];
+  _mm512_store_si512((__m512i*)tmp, v);
+  int16_t m = tmp[0];
+  for (int i = 1; i < 32; ++i)
+    if (tmp[i] > m) m = tmp[i];
+  return m;
+}
+
+// AVX-512BW band fill: 32 int16 lanes per vector, bit-identical
+// observable outputs to band_fill_scalar (dir bytes for all in-band
+// lanes, trackers over real cells; junk-valued trackers are mapped
+// back to the NEGI "unreachable" domain at the end).
+void band_fill_avx512(const uint8_t* q0, const uint8_t* t0, int Q, int T,
+                      int W, int a, int b, int gq, int ge, int gq2,
+                      int ge2, int sc_ambi, int mode, int zdrop,
+                      uint8_t* dir_out, Trackers* tk) {
+  const int S = Q + T - 1;
+  // padded sequences: q read at lo+d (d<W) -> [0, Q+W); t read via a
+  // reversed copy so the anti-diagonal access t[s-lo-d] is forward in
+  // d: trev[T-1-j], index = (T-1-s+lo) + d which can wander +-W for
+  // out-of-band lanes -> W+64 slack of 'N' (4) on both sides.
+  thread_local std::vector<uint8_t> qb, tr;
+  qb.assign(Q + W + 64, 4);
+  tr.assign(T + 2 * (W + 64), 4);
+  memcpy(qb.data(), q0, Q);
+  uint8_t* trv = tr.data() + W + 64;
+  for (int j = 0; j < T; ++j) trv[j] = t0[T - 1 - j];
+  // state rows (int16) with 32-lane pads both sides; pads hold NEG16
+  // forever (stores only touch [0, W)), so edge loads at d-1/d+1 read
+  // the same sentinel the scalar engine keeps
+  const int PW = W + 64;
+  thread_local std::vector<int16_t> buf;
+  buf.assign((size_t)11 * PW, NEG16);
+  int16_t* rows[11];
+  for (int r = 0; r < 11; ++r) rows[r] = buf.data() + (size_t)r * PW + 32;
+  int16_t *H1 = rows[0], *E1v = rows[1], *E2v = rows[2], *F1v = rows[3],
+          *F2v = rows[4], *H2 = rows[5], *H1n = rows[6], *E1n = rows[7],
+          *E2n = rows[8], *F1n = rows[9], *F2n = rows[10];
+  auto gap = [&](long l) {
+    long g1 = gq + l * ge, g2 = gq2 + l * ge2;
+    return (int32_t)(g1 < g2 ? g1 : g2);
+  };
+  const __m512i vNEG = _mm512_set1_epi16(NEG16);
+  const __m512i vgq = _mm512_set1_epi16((int16_t)gq);
+  const __m512i vge = _mm512_set1_epi16((int16_t)ge);
+  const __m512i vgq2 = _mm512_set1_epi16((int16_t)gq2);
+  const __m512i vge2 = _mm512_set1_epi16((int16_t)ge2);
+  const __m512i va = _mm512_set1_epi16((int16_t)a);
+  const __m512i vnb = _mm512_set1_epi16((int16_t)-b);
+  const __m512i vnambi = _mm512_set1_epi16((int16_t)-sc_ambi);
+  const __m512i v4 = _mm512_set1_epi16(4);
+  const __m512i v1 = _mm512_set1_epi16(1);
+  const __m512i v2 = _mm512_set1_epi16(2);
+  const __m512i v3 = _mm512_set1_epi16(3);
+  const __m512i vsrc4 = _mm512_set1_epi16(4);
+  const __m512i vE1C = _mm512_set1_epi16(E1_CONT);
+  const __m512i vE2C = _mm512_set1_epi16(E2_CONT);
+  const __m512i vF1C = _mm512_set1_epi16(F1_CONT);
+  const __m512i vF2C = _mm512_set1_epi16(F2_CONT);
+  alignas(64) int16_t iota_arr[32];
+  for (int i = 0; i < 32; ++i) iota_arr[i] = (int16_t)i;
+  const __m512i viota = _mm512_load_si512((const __m512i*)iota_arr);
+  int16_t best16 = NEG16, end16 = NEG16, g16 = NEG16;
+  int32_t best_i = 0, best_j = 0, g_j = 0;
+  bool best_real = false, g_real = false, end_real = false;
+  int lo1 = 0, lo2 = 0;
+  for (int s = 0; s < S; ++s) {
+    int lo = band_lo(s, Q, T, W);
+    int d1 = lo - lo1;
+    int d2 = lo - lo2;
+    int i_min = s - (T - 1) > lo ? s - (T - 1) : lo;
+    int i_max = s < Q - 1 ? s : Q - 1;
+    int d_lo = i_min - lo, d_hi = i_max - lo;
+    if (d_lo < 0) d_lo = 0;
+    if (d_hi > W - 1) d_hi = W - 1;
+    const int ou = d1 - 1, ol = d1, od = d2 - 1;
+    uint8_t* drow = dir_out + (int64_t)s * W;
+    const uint8_t* qrow = qb.data() + lo;
+    const uint8_t* trow = trv + (T - 1 - s + lo);  // + d, forward
+    if (d_lo > d_hi) {
+      // empty diagonal (band degenerated past the matrix corner):
+      // every lane goes to the sentinel, exactly like the scalar
+      // fills; skipping the loads also keeps the padded-sequence
+      // accesses in bounds for extreme Q/T aspect ratios
+      for (int vd = 0; vd < W; vd += 32) {
+        _mm512_storeu_si512((__m512i*)(H1n + vd), vNEG);
+        _mm512_storeu_si512((__m512i*)(E1n + vd), vNEG);
+        _mm512_storeu_si512((__m512i*)(E2n + vd), vNEG);
+        _mm512_storeu_si512((__m512i*)(F1n + vd), vNEG);
+        _mm512_storeu_si512((__m512i*)(F2n + vd), vNEG);
+      }
+      std::swap(H1, H2);
+      std::swap(H1, H1n);
+      std::swap(E1v, E1n);
+      std::swap(E2v, E2n);
+      std::swap(F1v, F1n);
+      std::swap(F2v, F2n);
+      lo2 = lo1;
+      lo1 = lo;
+      // scalar parity: an empty diagonal yields diag_best == sentinel,
+      // which trips zdrop exactly when the running best is real
+      if (mode != 0 && zdrop > 0 && best16 > JUNK_CUT16 &&
+          NEG16 < best16 - zdrop)
+        break;
+      continue;
+    }
+    const __m512i vdlo = _mm512_set1_epi16((int16_t)d_lo);
+    const __m512i vdhi = _mm512_set1_epi16((int16_t)d_hi);
+    for (int vd = 0; vd < W; vd += 32) {
+      __m512i idx = _mm512_add_epi16(viota, _mm512_set1_epi16((int16_t)vd));
+      __mmask32 mband = _mm512_cmple_epi16_mask(vdlo, idx) &
+                        _mm512_cmple_epi16_mask(idx, vdhi);
+      __m512i H_up = _mm512_loadu_si512((const __m512i*)(H1 + vd + ou));
+      __m512i F1_up = _mm512_loadu_si512((const __m512i*)(F1v + vd + ou));
+      __m512i F2_up = _mm512_loadu_si512((const __m512i*)(F2v + vd + ou));
+      __m512i H_left = _mm512_loadu_si512((const __m512i*)(H1 + vd + ol));
+      __m512i E1_left = _mm512_loadu_si512((const __m512i*)(E1v + vd + ol));
+      __m512i E2_left = _mm512_loadu_si512((const __m512i*)(E2v + vd + ol));
+      __m512i H_diag = _mm512_loadu_si512((const __m512i*)(H2 + vd + od));
+      __m512i e1o = _mm512_sub_epi16(H_left, vgq);
+      __mmask32 m_e1c = _mm512_cmpgt_epi16_mask(E1_left, e1o);
+      __m512i e1 = _mm512_sub_epi16(_mm512_max_epi16(E1_left, e1o), vge);
+      __m512i e2o = _mm512_sub_epi16(H_left, vgq2);
+      __mmask32 m_e2c = _mm512_cmpgt_epi16_mask(E2_left, e2o);
+      __m512i e2 = _mm512_sub_epi16(_mm512_max_epi16(E2_left, e2o), vge2);
+      __m512i f1o = _mm512_sub_epi16(H_up, vgq);
+      __mmask32 m_f1c = _mm512_cmpgt_epi16_mask(F1_up, f1o);
+      __m512i f1 = _mm512_sub_epi16(_mm512_max_epi16(F1_up, f1o), vge);
+      __m512i f2o = _mm512_sub_epi16(H_up, vgq2);
+      __mmask32 m_f2c = _mm512_cmpgt_epi16_mask(F2_up, f2o);
+      __m512i f2 = _mm512_sub_epi16(_mm512_max_epi16(F2_up, f2o), vge2);
+      __m512i qv = _mm512_cvtepu8_epi16(
+          _mm256_loadu_si256((const __m256i*)(qrow + vd)));
+      __m512i tv = _mm512_cvtepu8_epi16(
+          _mm256_loadu_si256((const __m256i*)(trow + vd)));
+      __mmask32 m_eq = _mm512_cmpeq_epi16_mask(qv, tv);
+      __mmask32 m_amb = _mm512_cmpeq_epi16_mask(qv, v4) |
+                        _mm512_cmpeq_epi16_mask(tv, v4);
+      __m512i pair = _mm512_mask_mov_epi16(vnb, m_eq, va);
+      pair = _mm512_mask_mov_epi16(pair, m_amb, vnambi);
+      __m512i h = _mm512_add_epi16(H_diag, pair);
+      __m512i src = _mm512_setzero_si512();
+      __mmask32 m;
+      m = _mm512_cmpgt_epi16_mask(e1, h);
+      h = _mm512_mask_mov_epi16(h, m, e1);
+      src = _mm512_mask_mov_epi16(src, m, v1);
+      m = _mm512_cmpgt_epi16_mask(e2, h);
+      h = _mm512_mask_mov_epi16(h, m, e2);
+      src = _mm512_mask_mov_epi16(src, m, v2);
+      m = _mm512_cmpgt_epi16_mask(f1, h);
+      h = _mm512_mask_mov_epi16(h, m, f1);
+      src = _mm512_mask_mov_epi16(src, m, v3);
+      m = _mm512_cmpgt_epi16_mask(f2, h);
+      h = _mm512_mask_mov_epi16(h, m, f2);
+      src = _mm512_mask_mov_epi16(src, m, vsrc4);
+      __m512i dirw = src;
+      dirw = _mm512_or_si512(dirw, _mm512_maskz_mov_epi16(m_e1c, vE1C));
+      dirw = _mm512_or_si512(dirw, _mm512_maskz_mov_epi16(m_e2c, vE2C));
+      dirw = _mm512_or_si512(dirw, _mm512_maskz_mov_epi16(m_f1c, vF1C));
+      dirw = _mm512_or_si512(dirw, _mm512_maskz_mov_epi16(m_f2c, vF2C));
+      // out-of-band lanes keep the NEG16 sentinel; dir bytes stay 0
+      _mm512_storeu_si512((__m512i*)(H1n + vd),
+                          _mm512_mask_mov_epi16(vNEG, mband, h));
+      _mm512_storeu_si512((__m512i*)(E1n + vd),
+                          _mm512_mask_mov_epi16(vNEG, mband, e1));
+      _mm512_storeu_si512((__m512i*)(E2n + vd),
+                          _mm512_mask_mov_epi16(vNEG, mband, e2));
+      _mm512_storeu_si512((__m512i*)(F1n + vd),
+                          _mm512_mask_mov_epi16(vNEG, mband, f1));
+      _mm512_storeu_si512((__m512i*)(F2n + vd),
+                          _mm512_mask_mov_epi16(vNEG, mband, f2));
+      // unmasked store with out-of-band lanes forced to 0: the dir
+      // buffer then needs no zero-init at all on this path (every
+      // walkable (s, d) lane is written by the sweep)
+      _mm256_storeu_si256(
+          (__m256i*)(drow + vd),
+          _mm512_cvtepi16_epi8(_mm512_maskz_mov_epi16(mband, dirw)));
+    }
+    // border fixups (i==0 / j==0 lanes): scalar recompute, exactly as
+    // the reference fill (int32 math; values are small near borders)
+    for (int pass = 0; pass < 2; ++pass) {
+      int d = pass == 0 ? -lo : s - lo;
+      if (d < d_lo || d > d_hi) continue;
+      if (pass == 1 && lo == 0 && s - lo == 0) continue;
+      int i = lo + d, j = s - i;
+      if ((pass == 0 && i != 0) || (pass == 1 && j != 0)) continue;
+      int32_t H_up = H1[d + ou], F1_up = F1v[d + ou], F2_up = F2v[d + ou];
+      int32_t H_left = H1[d + ol], E1_left = E1v[d + ol],
+              E2_left = E2v[d + ol];
+      int32_t H_diag = H2[d + od];
+      if (i == 0 && j == 0) H_diag = 0;
+      else if (i == 0) H_diag = -gap(j);
+      else if (j == 0) H_diag = -gap(i);
+      if (j == 0) { H_left = -gap(i + 1); E1_left = NEG16; E2_left = NEG16; }
+      if (i == 0) { H_up = -gap(j + 1); F1_up = NEG16; F2_up = NEG16; }
+      int32_t e1o = H_left - gq;
+      int32_t e1 = (E1_left > e1o ? E1_left : e1o) - ge;
+      uint8_t e1c = E1_left > e1o ? E1_CONT : 0;
+      int32_t e2o = H_left - gq2;
+      int32_t e2 = (E2_left > e2o ? E2_left : e2o) - ge2;
+      uint8_t e2c = E2_left > e2o ? E2_CONT : 0;
+      int32_t f1o = H_up - gq;
+      int32_t f1 = (F1_up > f1o ? F1_up : f1o) - ge;
+      uint8_t f1c = F1_up > f1o ? F1_CONT : 0;
+      int32_t f2o = H_up - gq2;
+      int32_t f2 = (F2_up > f2o ? F2_up : f2o) - ge2;
+      uint8_t f2c = F2_up > f2o ? F2_CONT : 0;
+      int qc = q0[i], tc = t0[j];
+      int32_t pair = (qc == 4 || tc == 4) ? -sc_ambi : (qc == tc ? a : -b);
+      int32_t h = H_diag + pair;
+      uint8_t srcb = 0;
+      if (e1 > h) { h = e1; srcb = 1; }
+      if (e2 > h) { h = e2; srcb = 2; }
+      if (f1 > h) { h = f1; srcb = 3; }
+      if (f2 > h) { h = f2; srcb = 4; }
+      H1n[d] = (int16_t)h;
+      E1n[d] = (int16_t)e1;
+      E2n[d] = (int16_t)e2;
+      F1n[d] = (int16_t)f1;
+      F2n[d] = (int16_t)f2;
+      drow[d] = srcb | e1c | e2c | f1c | f2c;
+    }
+    // trackers (same scan order/tie rules as scalar: lane-ascending,
+    // strict '>'): SIMD max then a short scalar pass only on improve
+    {
+      __m512i vmax = vNEG;
+      for (int vd = 0; vd < W; vd += 32)
+        vmax = _mm512_max_epi16(
+            vmax, _mm512_loadu_si512((const __m512i*)(H1n + vd)));
+      int16_t diag_best = reduce_max_epi16(vmax);
+      if (diag_best > best16 && d_lo <= d_hi) {
+        for (int d = d_lo; d <= d_hi; ++d) {
+          if (H1n[d] == diag_best) {
+            best16 = diag_best;
+            best_i = lo + d;
+            best_j = s - (lo + d);
+            best_real = true;
+            break;
+          }
+        }
+      }
+      int d_last = (Q - 1) - lo;
+      if (d_last >= d_lo && d_last <= d_hi) {
+        int16_t h = H1n[d_last];
+        if (h > g16) { g16 = h; g_j = s - (Q - 1); g_real = true; }
+        if (s == S - 1) { end16 = h; end_real = true; }
+      }
+      std::swap(H1, H2);
+      std::swap(H1, H1n);
+      std::swap(E1v, E1n);
+      std::swap(E2v, E2n);
+      std::swap(F1v, F1n);
+      std::swap(F2v, F2n);
+      lo2 = lo1;
+      lo1 = lo;
+      if (mode != 0 && zdrop > 0 && best16 > JUNK_CUT16 &&
+          diag_best < best16 - zdrop)
+        break;
+    }
+  }
+  // map junk-domain tracker values back to the int32 "unreachable"
+  // sentinel so the shared epilogue's NEGI/2 reachability tests
+  // decide exactly as the scalar engine's
+  tk->best_sc = (!best_real || best16 <= JUNK_CUT16) ? NEGI_BAND : best16;
+  tk->best_i = best_i;
+  tk->best_j = best_j;
+  tk->g_sc = (!g_real || g16 <= JUNK_CUT16) ? NEGI_BAND : g16;
+  tk->g_j = g_j;
+  tk->end_sc = (!end_real || end16 <= JUNK_CUT16) ? NEGI_BAND : end16;
+}
+
+#endif  // MAPPY_AVX512
+
+bool g_force_scalar_band = false;
+
+}  // namespace
+
+extern "C" {
+
+// test hook: force the scalar band fill (SIMD/scalar equivalence tests)
+void extend_set_force_scalar(int v) { g_force_scalar_band = v != 0; }
+
+}  // extern "C"
+
+extern "C" {
+
+// BANDED dual-affine DP + traceback, host-side, same static
+// anti-diagonal band as the device kernels (lane d of diagonal s is
+// row i = band_lo(s)+d).  Bit-compatible with ops/extend.py /
+// extend_pallas.py: same borders, precedence, continue flags, and
+// tracker tie rules (smallest (s, i) among equals for best cell,
+// smallest s for the last-row tracker).  Production extension engine
+// (the Mosaic device kernel is measured ~2x slower at J=256 and would
+// contend with the front end for the chip — see CONTRIBUTING.md).
+// Band fill dispatches to an AVX-512BW int16 path when the job's
+// score range provably fits (simd_fits); scalar otherwise.
+void extend_banded_batch(const uint8_t* qs, const uint8_t* ts,
+                         const int32_t* qlen, const int32_t* tlen,
+                         int J, int QSTRIDE, int TSTRIDE, int W,
+                         int a, int b, int gq, int ge, int gq2, int ge2,
+                         int sc_ambi, int end_bonus, int mode, int zdrop,
+                         int32_t* out_ops, int32_t* out_n, int max_ops,
+                         int32_t* out_info) {
+  const int32_t NEGI = NEGI_BAND;
+  for (int job = 0; job < J; ++job) {
+    int Q = qlen[job], T = tlen[job];
+    const uint8_t* q = qs + (int64_t)job * QSTRIDE;
+    const uint8_t* t = ts + (int64_t)job * TSTRIDE;
+    int32_t* ops = out_ops + (int64_t)job * max_ops;
+    int32_t* info = out_info + (int64_t)job * 4;
+    out_n[job] = 0;
+    info[0] = info[1] = info[2] = info[3] = 0;
+    if (Q <= 0 || T <= 0) continue;
+    int S = Q + T - 1;
+    // reusable per-thread dir buffer: the AVX-512 fill writes every
+    // walkable lane itself (no zero-init needed); the scalar fill
+    // only writes in-band lanes, so clear first on that path
+    thread_local std::vector<uint8_t> dirbuf;
+    if (dirbuf.size() < (size_t)S * W) dirbuf.resize((size_t)S * W);
+    uint8_t* dir = dirbuf.data();
+    Trackers tkv;
+#if defined(MAPPY_AVX512)
+    if (!g_force_scalar_band &&
+        simd_fits(Q, T, W, a, b, gq, ge, gq2, ge2, sc_ambi, end_bonus)) {
+      band_fill_avx512(q, t, Q, T, W, a, b, gq, ge, gq2, ge2, sc_ambi,
+                       mode, zdrop, dir, &tkv);
+    } else
+#endif
+    {
+      memset(dir, 0, (size_t)S * W);
+      band_fill_scalar(q, t, Q, T, W, a, b, gq, ge, gq2, ge2, sc_ambi,
+                       mode, zdrop, dir, &tkv);
+    }
+    int32_t best_sc = tkv.best_sc, best_i = tkv.best_i, best_j = tkv.best_j;
+    int32_t g_sc = tkv.g_sc, g_j = tkv.g_j, end_sc = tkv.end_sc;
     int si, sj, sc;
     if (mode == 2) {
       // global with zdrop split (minimap2 gap-filling semantics,
