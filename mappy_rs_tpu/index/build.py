@@ -117,6 +117,24 @@ def _sketch_contig_host(
     return np.asarray(rows, dtype=np.uint64).reshape(-1, 3)
 
 
+def _sketch_contig_native(
+    codes: np.ndarray, k: int, w: int, is_hpc: bool = False
+):
+    """C++ contig sketcher (native/front_end.cc sketch_contig — the
+    same emission engine as the CPU read path, so bit-exact with the
+    host/device sketchers).  ~60x the python host sketcher; returns
+    None when the native lib is unavailable."""
+    from .. import native
+
+    res = native.sketch_contig(codes, k, w, is_hpc)
+    if res is None:
+        return None
+    keys, y = res
+    return np.stack(
+        [keys, y >> np.uint64(1), y & np.uint64(1)], axis=1
+    )
+
+
 def build_index(
     seqs: Sequence[Tuple[str, str]],
     opts: IndexOptions | None = None,
@@ -136,11 +154,13 @@ def build_index(
         lens.append(len(codes))
         all_codes.append(codes)
         if len(codes) >= k:
-            rows = (
-                _sketch_contig_device(codes, k, w, is_hpc)
-                if use_device
-                else _sketch_contig_host(codes, k, w, is_hpc)
-            )
+            rows = _sketch_contig_native(codes, k, w, is_hpc)
+            if rows is None:
+                rows = (
+                    _sketch_contig_device(codes, k, w, is_hpc)
+                    if use_device
+                    else _sketch_contig_host(codes, k, w, is_hpc)
+                )
             if len(rows):
                 key = rows[:, 0]
                 y = (

@@ -626,13 +626,17 @@ class AlignmentEngine:
             return True
         if mode == "off":
             return False
-        # auto: off.  Measured on the tunnel-attached v5e (bench.py,
-        # 4 workers): the kernel's sequential K*A-step walk adds
-        # ~serialized device time per batch that outweighs the 5-7x
-        # transfer saving (741-866 vs 976 reads/s).  "on" is the right
-        # call only when device->host bandwidth, not device occupancy,
-        # is the binding constraint.
-        return False
+        # auto: on for TPU.  Re-measured 2026-08-17 after the native
+        # compact-backtrack + bucketed-lookup rounds (tpu_trials/
+        # prof_pipelined.py): pipelined B=256 front end is 29.3ms and
+        # the bt variant 33.3ms, but bt downloads 205KB vs 655KB per
+        # batch — on the ~15-30MB/s tunnel that trades +4ms device
+        # time for ~25ms less link time per batch.  (Round 1 measured
+        # the opposite with the python meta-decode downstream; the
+        # call flipped once the host glue got cheap.)
+        import jax
+
+        return jax.default_backend() == "tpu"
 
     def enable_mesh(self, n_data: int = 0) -> None:
         """Run the fused front end data-parallel over `n_data` local
@@ -828,10 +832,14 @@ class AlignmentEngine:
             QMAX = _pow2_at_least(ql, 64)
             TMAX = _pow2_at_least(tl, 64)
             drift = abs(ql - tl)
-            # static band: lanes cover j-i in ~[-W/2, W/2); a global
-            # job's end cell sits at j-i = tlen-qlen, so W >= 2*drift
+            # static band: lane d of diagonal s is i = band_lo(s)+d, so
+            # the W lanes cover j-i in [-W, W-2] (consecutive lanes
+            # step j-i by 2).  A global job's end cell sits at
+            # j-i = tlen-qlen, so W >= drift + wander margin; 64 j-i
+            # units of margin covers ~64 net unmatched indels of path
+            # wander within one anchored segment.
             if j.kind == "mid":
-                W = _pow2_at_least(max(128, 2 * drift + 128), 128)
+                W = max(128, 128 * ((drift + 66 + 127) // 128))
             else:
                 # flank t-window is deliberately longer than q (ref
                 # overhang); the band covers gaps up to ~flank_band/2
@@ -1019,8 +1027,9 @@ class AlignmentEngine:
                     self._store_empty(j)
                     continue
                 drift = abs(ql - tl)
+                # same band rule as _run_jobs (see comment there)
                 if j.kind == "mid":
-                    W = _pow2_at_least(max(128, 2 * drift + 128), 128)
+                    W = max(128, 128 * ((drift + 66 + 127) // 128))
                 else:
                     W = self.flank_band
                 mode = 2 if j.kind == "mid" else 1

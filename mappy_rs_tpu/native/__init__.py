@@ -72,6 +72,14 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
     )
     lib.extend_set_force_scalar.argtypes = [ctypes.c_int]
+    lib.sketch_contig.restype = ctypes.c_int64
+    lib.sketch_contig.argtypes = [
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+        ctypes.c_int64,
+    ]
     lib.extend_banded_batch.argtypes = (
         [np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")] * 2
         + [np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")] * 2
@@ -157,6 +165,30 @@ def _load() -> Optional[ctypes.CDLL]:
     ] * 4
     _lib = lib
     return _lib
+
+
+def sketch_contig(
+    codes: np.ndarray, k: int, w: int, is_hpc: bool = False
+):
+    """Native contig sketcher (index build).  Returns (keys u64[n],
+    y u64[n]) with y = pos_end<<1|strand, or None if the lib is
+    unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    L = len(codes)
+    cap = max(L // 3 + 1024, 1024)
+    while True:
+        out_key = np.empty(cap, np.uint64)
+        out_y = np.empty(cap, np.uint64)
+        n = lib.sketch_contig(codes, L, k, w, int(is_hpc), out_key, out_y, cap)
+        if n == -1:
+            cap *= 2
+            continue
+        if n < 0:
+            return None
+        return out_key[:n], out_y[:n]
 
 
 def set_force_scalar_band(v: bool) -> None:

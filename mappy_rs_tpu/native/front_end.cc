@@ -25,6 +25,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <unordered_set>
 #include <vector>
 
 namespace {
@@ -156,18 +157,13 @@ static void sketch_read(const uint8_t* codes, int L, int k, int w,
   }
   if (min_item.x != U64MAX) push(min_item);
 
-  // dedupe by y, keep first occurrence (sketch_host's `seen` set)
-  std::vector<uint64_t> seen;
-  seen.reserve(raw.size());
+  // dedupe by y, keep first occurrence (sketch_host's `seen` set);
+  // hash set, not a linear scan — whole contigs run through this
+  // path too (sketch_contig), where n is millions
+  std::unordered_set<uint64_t> seen;
+  seen.reserve(raw.size() * 2);
   for (const Item& it : raw) {
-    bool dup = false;
-    for (uint64_t y : seen)
-      if (y == it.y) {
-        dup = true;
-        break;
-      }
-    if (dup) continue;
-    seen.push_back(it.y);
+    if (!seen.insert(it.y).second) continue;
     out.push_back(Mini{it.x, (int32_t)(it.y >> 1), (int32_t)(it.y & 1),
                        it.span});
   }
@@ -186,6 +182,25 @@ struct Chain {
 }  // namespace
 
 extern "C" {
+
+// Sketch one reference contig (index-build path, SURVEY.md §2b N2):
+// same emission rules as the read sketcher.  Writes (key, y) rows
+// with y = pos_end<<1 | strand; returns the row count, or -1 when
+// `cap` is too small (caller retries with a larger buffer).
+int64_t sketch_contig(const uint8_t* codes, int64_t L, int k, int w,
+                      int is_hpc, uint64_t* out_key, uint64_t* out_y,
+                      int64_t cap) {
+  if (L > (int64_t)0x7ffffff0) return -2;  // int32 position domain
+  std::vector<Mini> mins;
+  sketch_read(codes, (int)L, k, w, is_hpc != 0, mins);
+  if ((int64_t)mins.size() > cap) return -1;
+  for (size_t i = 0; i < mins.size(); ++i) {
+    out_key[i] = mins[i].key;
+    out_y[i] = ((uint64_t)(uint32_t)mins[i].pos << 1) |
+               (uint64_t)(uint32_t)mins[i].strand;
+  }
+  return (int64_t)mins.size();
+}
 
 // Map a batch of reads through the CPU front end.
 //

@@ -190,10 +190,15 @@ def backtrack_chains_pallas(anchors, f, p, K, seg_cuts, min_cnt, min_sc):
         span = jnp.zeros_like(f)
     FLD = N_FIXED + 2 * seg_cuts
     CPAD = _ceil128(K * FLD)
+    # grid over read blocks: the whole-batch formulation holds
+    # 8x[B,A]+[B,CPAD] i32 in VMEM at once, which blows the 16MB
+    # scoped budget at B=1024/A=256 — 256-row blocks keep ~2.5MB/step
+    BLK = 256 if B % 256 == 0 else B
     out = pl.pallas_call(
-        _make_kernel(B, A, K, seg_cuts, min_cnt, min_sc, CPAD),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        _make_kernel(BLK, A, K, seg_cuts, min_cnt, min_sc, CPAD),
+        grid=(B // BLK,),
+        in_specs=[pl.BlockSpec((BLK, A), lambda i: (i, 0))] * 8,
+        out_specs=pl.BlockSpec((BLK, CPAD), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((B, CPAD), _I32),
         interpret=jax.default_backend() != "tpu",
     )(
