@@ -224,7 +224,6 @@ class AlignmentEngine:
         self.index = index
         self.opt = opt
         self.cfg = cfg or AlignerConfig()
-        self.dev = index.device
         self._ext_params = ExtendParams(
             a=opt.a, b=opt.b, q=opt.q, e=opt.e, q2=opt.q2, e2=opt.e2,
             sc_ambi=opt.sc_ambi,
@@ -250,6 +249,13 @@ class AlignmentEngine:
         )
 
     # ------------------------------------------------------------------
+    @property
+    def dev(self):
+        """Device index arrays, uploaded lazily on first device-path
+        use (a CPU-front-end engine on a tunnel-attached chip should
+        not pay the index upload at construction)."""
+        return self.index.device
+
     def map_batch(
         self, seqs: Sequence[str], cs: bool = False, md: bool = False
     ) -> List[List[Region]]:
