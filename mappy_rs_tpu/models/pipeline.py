@@ -350,8 +350,19 @@ class AlignmentEngine:
         A = max(256, int(L * self.cfg.anchors_per_base))
         A = _pow2_at_least(A) * a_boost
         overflow_reads: List[int] = []
-        for chunk_start in range(0, B_real, B):
-            chunk = idxs[chunk_start : chunk_start + B]
+        import jax
+
+        from .. import native
+
+        use_bt = self._bt_enabled()
+        bt_cuts = min(8, L // self.SEG_LEN)
+
+        def stage_dispatch(chunk):
+            """Pad + enqueue the fused front end for one chunk.  No
+            device sync: jit calls return futures, so chunk i+1's
+            device work overlaps chunk i's host stages (backtrack,
+            regions, extension) — the dominant idle source at one
+            in-flight batch per worker."""
             batch = np.full((B, L), 4, np.uint8)
             lens = np.zeros(B, np.int32)
             for bi, ri in enumerate(chunk):
@@ -360,8 +371,6 @@ class AlignmentEngine:
                 lens[bi] = len(c)
             # TPU: hand-written Mosaic chain kernel (predictable
             # compiles, H=128 window); elsewhere: XLA block formulation
-            import jax
-
             is_hpc = bool(self.index.flag & 0x1)
             if is_hpc:
                 from ..ops.sketch import compress_hpc, hpc_spans
@@ -405,28 +414,33 @@ class AlignmentEngine:
                 self.dev.bucket_rounds,
                 self.dev.bucket_shift,
             )
-            use_bt = self._bt_enabled()
-            chains_np = anchors_np = f = p = None
-            from .. import native
-
-            rep_len = None
-            native_bt = False
-            bt_cuts = min(8, L // self.SEG_LEN)
-            if use_bt:
-                with self.metrics.timer("front_end"):
-                    chains_np, rep_len = jax.device_get(_front_end_bt(
+            with self.metrics.timer("front_end"):
+                if use_bt:
+                    handles = _front_end_bt(
                         *fe_args[:23], self.cfg.backtrack_k, bt_cuts,
                         self.opt.min_cnt, self.opt.min_chain_score,
                         bucket_bits=fe_args[23], bucket_rounds=fe_args[24],
                         bucket_shift=fe_args[25],
                         pallas_window=self.cfg.pallas_chain_window,
-                    ))
+                    )
+                else:
+                    handles = self._fe_dispatch(fe_args)
+            return chunk, lens, handles
+
+        def stage_process(state):
+            chunk, lens, handles = state
+            chains_np = anchors_np = f = p = None
+            rep_len = None
+            native_bt = False
+            if use_bt:
+                with self.metrics.timer("front_end"):
+                    chains_np, rep_len = jax.device_get(handles)
                     chains_np = np.asarray(chains_np)
                     rep_len = np.asarray(rep_len)
             else:
                 with self.metrics.timer("front_end"):
-                    arr, n_np, rep_len, n_raw = self._front_end_full(
-                        fe_args, A
+                    arr, n_np, rep_len, n_raw = self._front_end_fetch(
+                        handles, A
                     )
                 for bi in np.nonzero(n_raw[: len(chunk)] > A)[0]:
                     overflow_reads.append(chunk[int(bi)])
@@ -463,6 +477,15 @@ class AlignmentEngine:
             self._run_jobs(jobs)
             self._run_split_rounds(read_regions, codes)
             self._finish_reads(read_regions, codes, out, cs, md)
+
+        pending = None
+        for chunk_start in range(0, B_real, B):
+            nxt = stage_dispatch(idxs[chunk_start : chunk_start + B])
+            if pending is not None:
+                stage_process(pending)
+            pending = nxt
+        if pending is not None:
+            stage_process(pending)
 
         if overflow_reads and a_boost < 16:
             # reads whose seed hits overflowed the A budget were mapped
@@ -682,18 +705,17 @@ class AlignmentEngine:
             self._dp_fes[key] = fe
         return fe(*fe_args[:15])
 
-    def _front_end_full(self, fe_args, A: int):
-        """Host-backtrack front end: download the packed anchor stack.
-
-        Trims the transfer to the anchors actually present:
-        optimistically fetches the first 128 slots together with the
-        counts (one pipelined device_get) and refetches wider only
-        when some read actually has more anchors.  Returns the RAW
-        [5, B, A'] stack (meta, rpos, qpos, f, p) — the C++ backtrack
-        consumes it directly without a python decode."""
+    def _front_end_fetch(self, handles, A: int):
+        """Host-backtrack front end, download side: trims the transfer
+        to the anchors actually present — optimistically fetches the
+        first 128 slots together with the counts (one pipelined
+        device_get) and refetches wider only when some read actually
+        has more anchors.  Returns the RAW [5, B, A'] stack
+        (meta, rpos, qpos, f, p) — the C++ backtrack consumes it
+        directly without a python decode."""
         import jax
 
-        stacked, n_dev = self._fe_dispatch(fe_args)
+        stacked, n_dev = handles
         A_opt = min(128, A)
         arr, n2 = jax.device_get((stacked[:, :, :A_opt], n_dev))
         n2 = np.asarray(n2)
