@@ -63,7 +63,7 @@ def _front_end_impl(
     key_hi, key_lo, offsets, counts, pos_rid, pos_ps, bucket_start,
     n_keys, mid_occ, k, w, M, A, chain_params, chain_window, use_pallas,
     q_occ_frac=0.0, bucket_bits=0, bucket_rounds=0, bucket_shift=0,
-    pallas_window=128,
+    pallas_window=128, occ_dist=0, max_max_occ=0,
 ):
     """Fused sketch -> seed lookup -> chain: ONE device dispatch per
     batch (the per-call tunnel latency on the dev setup is ~50-100ms,
@@ -79,6 +79,7 @@ def _front_end_impl(
         mins, lens, key_hi, key_lo, offsets, counts, pos_rid, pos_ps,
         n_keys, mid_occ, A, k, q_occ_frac,
         bucket_start, bucket_bits, bucket_rounds, bucket_shift,
+        occ_dist, max_max_occ,
     )
     if use_pallas:
         f, p = chain_scores_pallas(anchors, chain_params, pallas_window)
@@ -106,7 +107,7 @@ _front_end = partial(
     static_argnames=(
         "k", "w", "M", "A", "chain_params", "chain_window", "use_pallas",
         "q_occ_frac", "bucket_bits", "bucket_rounds", "bucket_shift",
-        "pallas_window",
+        "pallas_window", "occ_dist", "max_max_occ",
     ),
 )(_front_end_impl)
 
@@ -152,7 +153,7 @@ def make_dp_front_end(mesh, is_hpc: bool, **static_kw):
         "k", "w", "M", "A", "chain_params", "chain_window", "use_pallas",
         "q_occ_frac", "bt_k", "bt_cuts", "min_cnt", "min_sc",
         "bucket_bits", "bucket_rounds", "bucket_shift",
-        "pallas_window",
+        "pallas_window", "occ_dist", "max_max_occ",
     ),
 )
 def _front_end_bt(
@@ -161,6 +162,7 @@ def _front_end_bt(
     n_keys, mid_occ, k, w, M, A, chain_params, chain_window, use_pallas,
     q_occ_frac, bt_k, bt_cuts, min_cnt, min_sc, bucket_bits=0,
     bucket_rounds=0, bucket_shift=0, pallas_window=128,
+    occ_dist=0, max_max_occ=0,
 ):
     """_front_end + on-device chain backtracking: the whole seeding and
     chaining path runs in one dispatch and only the compact
@@ -176,6 +178,7 @@ def _front_end_bt(
         mins, lens, key_hi, key_lo, offsets, counts, pos_rid, pos_ps,
         n_keys, mid_occ, A, k, q_occ_frac,
         bucket_start, bucket_bits, bucket_rounds, bucket_shift,
+        occ_dist, max_max_occ,
     )
     if use_pallas:
         f, p = chain_scores_pallas(anchors, chain_params, pallas_window)
@@ -294,12 +297,13 @@ class AlignmentEngine:
         CPU aligner (and the measured bench baseline)."""
         from .. import native
 
+        od, mmo = self._seed_select_params()
         with self.metrics.timer("front_end"):
             chains, rep_len, _n_anchors = native.front_end_batch(
                 self.index, codes, self.opt.mid_occ, self._chain_params,
                 self.cfg.cpu_chain_max_iter, self.opt.min_cnt,
                 self.opt.min_chain_score, self.cfg.backtrack_k,
-                8, self.SEG_LEN,
+                8, self.SEG_LEN, occ_dist=od, max_max_occ=mmo,
             )
         jobs: List[_ExtJob] = []
         read_regions: List[Tuple[int, List[Region], int]] = []
@@ -416,12 +420,14 @@ class AlignmentEngine:
             )
             with self.metrics.timer("front_end"):
                 if use_bt:
+                    od, mmo = self._seed_select_params()
                     handles = _front_end_bt(
                         *fe_args[:23], self.cfg.backtrack_k, bt_cuts,
                         self.opt.min_cnt, self.opt.min_chain_score,
                         bucket_bits=fe_args[23], bucket_rounds=fe_args[24],
                         bucket_shift=fe_args[25],
                         pallas_window=self.cfg.pallas_chain_window,
+                        occ_dist=od, max_max_occ=mmo,
                     )
                 else:
                     handles = self._fe_dispatch(fe_args)
@@ -681,16 +687,28 @@ class AlignmentEngine:
         self.mesh = make_mesh(n_data, 1)
         self._dp_fes = {}
 
+    def _seed_select_params(self):
+        """Effective (occ_dist, max_max_occ) for seed thinning/rescue —
+        the mm_collect_matches gate `dist > 0 && max_max_occ > max_occ`
+        is resolved here on host (mid_occ is known after index load)
+        so the device graphs stay static."""
+        if (self.opt.occ_dist > 0
+                and self.opt.max_max_occ > self.opt.mid_occ):
+            return int(self.opt.occ_dist), int(self.opt.max_max_occ)
+        return 0, 0
+
     def _fe_dispatch(self, fe_args):
         """Dispatch the fused front end: single-device jit, or the
         cached shard_map'd data-parallel wrapper when a mesh is set."""
+        od, mmo = self._seed_select_params()
         if self.mesh is None:
             return _front_end(
-                *fe_args, pallas_window=self.cfg.pallas_chain_window
+                *fe_args, pallas_window=self.cfg.pallas_chain_window,
+                occ_dist=od, max_max_occ=mmo,
             )
         statics = fe_args[15:]
         is_hpc = fe_args[3] is not None
-        key = (is_hpc,) + tuple(statics)
+        key = (is_hpc,) + tuple(statics) + (od, mmo)
         fe = self._dp_fes.get(key)
         if fe is None:
             (k, w, M, A, chain_params, chain_window, use_pallas, qof,
@@ -701,6 +719,7 @@ class AlignmentEngine:
                 use_pallas=use_pallas, q_occ_frac=qof,
                 bucket_bits=bb, bucket_rounds=br, bucket_shift=bsh,
                 pallas_window=self.cfg.pallas_chain_window,
+                occ_dist=od, max_max_occ=mmo,
             )
             self._dp_fes[key] = fe
         return fe(*fe_args[:15])

@@ -121,6 +121,8 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int32,  # w
         ctypes.c_int32,  # is_hpc
         ctypes.c_int32,  # mid_occ
+        ctypes.c_int32,  # occ_dist
+        ctypes.c_int32,  # max_max_occ
         ctypes.c_int32,  # max_dist_x
         ctypes.c_int32,  # max_dist_y
         ctypes.c_int32,  # bw
@@ -432,6 +434,8 @@ def front_end_batch(
     K: int,
     seg_cuts: int,
     seg_len: int,
+    occ_dist: int = 0,
+    max_max_occ: int = 0,
 ):
     """CPU front end: sketch+lookup+chain+backtrack for a read batch.
 
@@ -459,6 +463,7 @@ def front_end_batch(
         keys, key_off, positions, len(keys),
         reads, read_off, R,
         index.k, index.w, int(bool(index.flag & 0x1)), int(mid_occ),
+        int(occ_dist), int(max_max_occ),
         int(chain_params.max_dist_x), int(chain_params.max_dist_y),
         int(chain_params.bw), float(chain_params.chn_pen_gap),
         float(chain_params.chn_pen_skip), int(max_iter),

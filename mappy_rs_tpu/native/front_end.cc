@@ -173,6 +173,14 @@ struct Anchor {
   int32_t rev, rid, rpos, qpos, span;
 };
 
+// one query minimizer that hit the index (mm_seed_t analogue)
+struct Seed {
+  const Mini* m;
+  int64_t a, b;  // hit range in the positions array
+  int32_t cnt;   // occurrence count
+  uint8_t keep;  // low-occ, or rescued by mm_seed_select
+};
+
 struct Chain {
   int32_t score, cnt, rev, rid, rpos_first, rpos_last, qpos_first,
       qpos_last, span_first;
@@ -216,6 +224,7 @@ void front_end_batch(
     const uint64_t* keys, const uint64_t* key_off, const uint64_t* positions,
     int64_t nk, const uint8_t* reads, const int64_t* read_off, int32_t R,
     int32_t k, int32_t w, int32_t is_hpc, int32_t mid_occ,
+    int32_t occ_dist, int32_t max_max_occ,
     // chain params
     int32_t max_dist_x, int32_t max_dist_y, int32_t bw, float chn_pen_gap,
     float chn_pen_skip, int32_t max_iter,
@@ -227,6 +236,8 @@ void front_end_batch(
   const int FLD = 9 + 2 * seg_cuts;
   std::vector<Mini> mins;
   std::vector<Anchor> an;
+  std::vector<Seed> seeds;
+  std::vector<std::pair<int32_t, int32_t>> sel;
   std::vector<int32_t> f, p, used;
   std::vector<std::pair<int32_t, int32_t>> rep_iv;
 
@@ -240,9 +251,10 @@ void front_end_batch(
     if (L < k) continue;
     sketch_read(q, L, k, w, is_hpc != 0, mins);
 
-    // ---- seed lookup + anchors + rep_len ----
+    // ---- seed lookup + occ thinning/rescue + anchors + rep_len ----
     an.clear();
     rep_iv.clear();
+    seeds.clear();
     for (const Mini& m : mins) {
       // branchless-ish lower_bound over sorted keys
       int64_t lo = 0, hi = nk;
@@ -255,12 +267,47 @@ void front_end_batch(
       }
       if (lo >= nk || keys[lo] != m.key) continue;
       int64_t a = (int64_t)key_off[lo], b = (int64_t)key_off[lo + 1];
-      int cnt = (int)(b - a);
-      if (cnt > mid_occ) {
+      int32_t cnt = (int32_t)(b - a);
+      seeds.push_back(Seed{&m, a, b, cnt,
+                           (uint8_t)(cnt <= mid_occ ? 1 : 0)});
+    }
+    // mm_seed_select (minimap2 seed.c): in each maximal run of
+    // high-occurrence seeds between low-occ neighbours (query gap
+    // ps..pe), rescue up to floor(gap/occ_dist + 0.499) (cap 128) of
+    // the lowest-occurrence members with cnt <= max_max_occ.  Gated
+    // like mm_collect_matches: dist > 0 and max_max_occ > mid_occ.
+    if (occ_dist > 0 && max_max_occ > mid_occ) {
+      int ns = (int)seeds.size();
+      int last0 = -1;
+      for (int i = 0; i <= ns; ++i) {
+        if (i == ns || seeds[i].cnt <= mid_occ) {
+          if (i - last0 > 1) {
+            int64_t ps = last0 < 0 ? 0 : seeds[last0].m->pos;
+            int64_t pe = i == ns ? L : seeds[i].m->pos;
+            int64_t mh =
+                ((pe - ps) * 1000 + 499LL * occ_dist) / (1000LL * occ_dist);
+            if (mh > 128) mh = 128;
+            if (mh > 0) {
+              sel.clear();
+              for (int j = last0 + 1; j < i; ++j)
+                if (seeds[j].cnt <= max_max_occ)
+                  sel.push_back({seeds[j].cnt, j});
+              std::sort(sel.begin(), sel.end());
+              for (size_t j = 0; j < sel.size() && (int64_t)j < mh; ++j)
+                seeds[sel[j].second].keep = 1;
+            }
+          }
+          last0 = i;
+        }
+      }
+    }
+    for (const Seed& s : seeds) {
+      const Mini& m = *s.m;
+      if (!s.keep) {
         rep_iv.push_back({m.pos + 1 - m.span, m.pos + 1});
         continue;
       }
-      for (int64_t x = a; x < b; ++x) {
+      for (int64_t x = s.a; x < s.b; ++x) {
         uint64_t yv = positions[x];
         int32_t rid = (int32_t)(yv >> 32);
         int32_t rpos = (int32_t)((yv & 0xFFFFFFFFu) >> 1);

@@ -62,6 +62,78 @@ def _lower_bound_2key_ranged(key_hi, key_lo, q_hi, q_lo, lo, hi, rounds):
     return lo
 
 
+#: mm_seed_select's MAX_MAX_HIGH_OCC — cap on rescued seeds per gap
+MAX_HIGH_OCC_PER_GAP = 128
+
+
+def seed_select_keep(pos, cnt, found, qlens, mid_occ, occ_dist, max_max_occ):
+    """Vectorized seed occurrence thinning / rescue (minimap2's
+    ``mm_seed_select`` + ``mm_collect_matches``, seed.c; SURVEY §2b N8,
+    reached from every ``.map()`` via /root/reference/src/lib.rs:482).
+
+    Semantics: seeds (query minimizers that hit the index) with
+    occurrence > mid_occ are normally dropped.  When ``occ_dist`` > 0,
+    each maximal run of high-occurrence seeds between two low-occurrence
+    seeds (query positions ps..pe; 0 / qlen at the array ends) gets up to
+    ``floor((pe-ps)/occ_dist + 0.499)`` (capped at 128) of its
+    LOWEST-occurrence members rescued, provided their occurrence is
+    <= max_max_occ — so long query stretches without usable seeds
+    still seed chains in repeat regions.
+
+    All inputs are [B, M] slot arrays except qlens [B] and the scalars;
+    ``pos`` (k-mer end positions) must be ascending over valid slots —
+    the sketch emits them in position order.  Returns (keep, rescued)
+    bool masks: ``keep`` = seeds whose hits enter anchor expansion,
+    ``rescued`` = the subset that was over mid_occ.  Scalar arithmetic
+    is exact-integer (matches the C++ path bit-for-bit) for query gaps
+    < 2^31/1000 bp.
+    """
+    B, M = pos.shape
+    big = jnp.int32(0x7FFFFFFF)
+    is_low = found & (cnt <= mid_occ)
+    is_high = found & (cnt > mid_occ)
+    # ps: position of the last low-occ seed strictly before each slot
+    # (0 when none) — exclusive cummax works because pos is ascending
+    low_pos = jnp.where(is_low, pos, 0)
+    ps = jnp.concatenate(
+        [jnp.zeros((B, 1), _I32),
+         jax.lax.cummax(low_pos, axis=1)[:, :-1]], axis=1
+    )
+    # pe: position of the first low-occ seed strictly after (qlen if none)
+    low_pos_r = jnp.where(is_low, pos, big)
+    suffix_min = jnp.flip(
+        jax.lax.cummin(jnp.flip(low_pos_r, axis=1), axis=1), axis=1
+    )
+    pe = jnp.concatenate([suffix_min[:, 1:],
+                          jnp.full((B, 1), big, _I32)], axis=1)
+    pe = jnp.minimum(pe, qlens[:, None])
+    # budget per gap: floor(gap/dist + 0.499) == the C truncation of
+    # (double)gap/dist + .499, done in exact integer arithmetic
+    gap = jnp.maximum(pe - ps, 0)
+    max_high = jnp.minimum(
+        (gap * 1000 + 499 * occ_dist) // (1000 * occ_dist),
+        MAX_HIGH_OCC_PER_GAP,
+    )
+    # rank eligible high-occ seeds within their gap by (occurrence,
+    # slot): stable 2-key sort groups each gap's members, then a
+    # run-start cummax turns sorted position into an in-segment rank
+    gap_id = jnp.cumsum(is_low.astype(_I32), axis=1)
+    elig = is_high & (cnt <= max_max_occ)
+    g_key = jnp.where(elig, gap_id, big)
+    iota = jnp.broadcast_to(jnp.arange(M, dtype=_I32)[None, :], (B, M))
+    s_g, _, s_i = jax.lax.sort(
+        (g_key, cnt, iota), dimension=1, num_keys=2
+    )
+    first = jnp.concatenate(
+        [jnp.ones((B, 1), bool), s_g[:, 1:] != s_g[:, :-1]], axis=1
+    )
+    seg_start = jax.lax.cummax(jnp.where(first, iota, 0), axis=1)
+    rank_sorted = iota - seg_start
+    _, rank = jax.lax.sort((s_i, rank_sorted), dimension=1, num_keys=1)
+    rescued = elig & (rank < max_high)
+    return is_low | rescued, rescued
+
+
 def _searchsorted_rows(prefix, targets):
     """Row-wise 'right' searchsorted: for each target t, the largest i
     with prefix[b, i] <= t.  prefix: int32 [B, M+1] nondecreasing;
@@ -84,7 +156,7 @@ def _searchsorted_rows(prefix, targets):
     jax.jit,
     static_argnames=(
         "max_anchors", "span", "q_occ_frac", "bucket_bits",
-        "bucket_rounds", "bucket_shift",
+        "bucket_rounds", "bucket_shift", "occ_dist", "max_max_occ",
     ),
 )
 def collect_anchors(
@@ -105,6 +177,8 @@ def collect_anchors(
     bucket_bits: int = 0,
     bucket_rounds: int = 0,
     bucket_shift: int = 0,
+    occ_dist: int = 0,
+    max_max_occ: int = 0,
 ):
     """Expand query minimizers into sorted anchors.
 
@@ -149,7 +223,19 @@ def collect_anchors(
     )
     cnt_raw = jnp.where(found, counts[idx_c], 0)
     # seed occurrence filter (mm_mapopt_update's mid_occ, SURVEY §2b N4)
-    cnt = jnp.where(cnt_raw > mid_occ, 0, cnt_raw)
+    if occ_dist > 0 and max_max_occ > 0:
+        # occ thinning / seed rescue (mm_seed_select): re-enable the
+        # lowest-occurrence high-occ seeds in long low-occ-free gaps.
+        # Callers gate on max_max_occ > mid_occ host-side (the scalar
+        # lives on device here).
+        keep, rescued = seed_select_keep(
+            mins["pos"], cnt_raw, found, qlens, mid_occ,
+            occ_dist, max_max_occ,
+        )
+        cnt = jnp.where(keep, cnt_raw, 0)
+    else:
+        rescued = None
+        cnt = jnp.where(cnt_raw > mid_occ, 0, cnt_raw)
     # rep_len: union length of query intervals covered by occ-filtered
     # seeds (mm_collect_matches' rep_st/rep_en accounting) — feeds the
     # mapq uniq_ratio attenuation.  Minimizer slots are in ascending
@@ -159,6 +245,8 @@ def collect_anchors(
         else jnp.full_like(mins["pos"], span)
     )
     filt = found & (cnt_raw > mid_occ)
+    if rescued is not None:
+        filt &= ~rescued  # rescued seeds are not repetitive coverage
     en_f = jnp.where(filt, mins["pos"] + 1, 0)
     prev_en = jnp.concatenate(
         [jnp.zeros((B, 1), _I32),
