@@ -18,6 +18,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from ..config import MM_F_RMQ
 from ..config import MM_F_SR as _MM_F_SR
 from ..config import AlignerConfig, MapOptions
 from ..index.index import MinimizerIndex
@@ -268,7 +269,17 @@ class AlignmentEngine:
         with self.metrics.timer("map_batch"):
             self.metrics.add("reads", len(seqs))
             codes = [encode(s) for s in seqs]
-            if self.cfg.front_end_backend == "cpu":
+            # MM_F_RMQ presets (asm5/10/20, --rmq) need the long-gap
+            # chaining pass, which lives in the native front end (the
+            # device kernel's block window can't reach bw_long=100k
+            # diagonal offsets) — assembly-to-reference alignment is an
+            # offline host-bound workload, so this routing costs the
+            # streaming path nothing.  Without the native lib the
+            # device front end still maps, minus long SV joins.
+            want_cpu = self.cfg.front_end_backend == "cpu" or bool(
+                self.opt.flag & MM_F_RMQ
+            )
+            if want_cpu:
                 from .. import native
 
                 if native.available():
@@ -298,12 +309,14 @@ class AlignmentEngine:
         from .. import native
 
         od, mmo = self._seed_select_params()
+        use_rmq = bool(self.opt.flag & MM_F_RMQ)
         with self.metrics.timer("front_end"):
             chains, rep_len, _n_anchors = native.front_end_batch(
                 self.index, codes, self.opt.mid_occ, self._chain_params,
                 self.cfg.cpu_chain_max_iter, self.opt.min_cnt,
                 self.opt.min_chain_score, self.cfg.backtrack_k,
                 8, self.SEG_LEN, occ_dist=od, max_max_occ=mmo,
+                bw_long=int(self.opt.bw_long), use_rmq=use_rmq,
             )
         jobs: List[_ExtJob] = []
         read_regions: List[Tuple[int, List[Region], int]] = []

@@ -129,6 +129,8 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_float,  # chn_pen_gap
         ctypes.c_float,  # chn_pen_skip
         ctypes.c_int32,  # max_iter
+        ctypes.c_int32,  # bw_long
+        ctypes.c_int32,  # use_rmq
         ctypes.c_int32,  # min_cnt
         ctypes.c_int32,  # min_sc
         ctypes.c_int32,  # K
@@ -436,6 +438,8 @@ def front_end_batch(
     seg_len: int,
     occ_dist: int = 0,
     max_max_occ: int = 0,
+    bw_long: int = 0,
+    use_rmq: bool = False,
 ):
     """CPU front end: sketch+lookup+chain+backtrack for a read batch.
 
@@ -467,6 +471,7 @@ def front_end_batch(
         int(chain_params.max_dist_x), int(chain_params.max_dist_y),
         int(chain_params.bw), float(chain_params.chn_pen_gap),
         float(chain_params.chn_pen_skip), int(max_iter),
+        int(bw_long), int(bool(use_rmq)),
         int(min_cnt), int(min_sc), int(K), int(seg_cuts), int(seg_len),
         chains.reshape(-1), rep_len, n_anchors,
     )

@@ -187,6 +187,63 @@ struct Chain {
   std::vector<int32_t> cuts;  // (qpos, rpos) pairs, end->start order
 };
 
+// Max-segment-tree over compressed anchor diagonals, for the RMQ
+// long-gap chaining pass (minimap2's --rmq / MM_F_RMQ, SURVEY §2b N9).
+// Values are the linear proxy score f[j] + span_j ± chn_pen_gap*diag_j,
+// so a range-max query over diagonals within bw_long of anchor i
+// retrieves the best long-join predecessor with the dominant
+// chn_pen_gap*|ddiag| penalty folded in EXACTLY; the candidate is then
+// re-scored with the full formula (log term, chn_pen_skip, span
+// saturation, dq caps).  This is this build's native formulation of
+// the goal minimap2 reaches with a Krmq AVL tree: O(log n) long-gap
+// predecessor search.  Divergence (documented in PARITY.md): one
+// candidate per side per anchor — an invalid tree max (dq <= 0 or
+// dq > max_dist) can shadow a valid lower-proxy anchor on the same
+// diagonal range.
+struct DiagTree {
+  int n = 0;
+  std::vector<double> val;
+  std::vector<int32_t> idx;
+  void init(int m) {
+    n = 1;
+    while (n < m) n <<= 1;
+    val.assign(2 * n, -1e300);
+    idx.assign(2 * n, -1);
+  }
+  void update(int pos, double v, int32_t id) {
+    int q = pos + n;
+    if (v <= val[q]) return;
+    val[q] = v;
+    idx[q] = id;
+    for (q >>= 1; q >= 1; q >>= 1) {
+      int l = 2 * q, r = 2 * q + 1;
+      if (val[l] >= val[r]) {
+        val[q] = val[l];
+        idx[q] = idx[l];
+      } else {
+        val[q] = val[r];
+        idx[q] = idx[r];
+      }
+    }
+  }
+  // max over inclusive compressed-index range [l, r]
+  std::pair<double, int32_t> query(int l, int r) const {
+    double bv = -1e300;
+    int32_t bi = -1;
+    for (l += n, r += n + 1; l < r; l >>= 1, r >>= 1) {
+      if (l & 1) {
+        if (val[l] > bv) { bv = val[l]; bi = idx[l]; }
+        ++l;
+      }
+      if (r & 1) {
+        --r;
+        if (val[r] > bv) { bv = val[r]; bi = idx[r]; }
+      }
+    }
+    return {bv, bi};
+  }
+};
+
 }  // namespace
 
 extern "C" {
@@ -227,7 +284,7 @@ void front_end_batch(
     int32_t occ_dist, int32_t max_max_occ,
     // chain params
     int32_t max_dist_x, int32_t max_dist_y, int32_t bw, float chn_pen_gap,
-    float chn_pen_skip, int32_t max_iter,
+    float chn_pen_skip, int32_t max_iter, int32_t bw_long, int32_t use_rmq,
     // backtrack params
     int32_t min_cnt, int32_t min_sc, int32_t K, int32_t seg_cuts,
     int32_t seg_len,
@@ -347,8 +404,34 @@ void front_end_batch(
     // ---- chaining DP (mm_chain_dp recurrence) ----
     f.assign(n, 0);
     p.assign(n, -1);
+    DiagTree tdl, tdr;          // RMQ long-join trees (per group)
+    std::vector<int64_t> ud;    // unique diagonals in current group
+    std::vector<int32_t> dci;   // compressed diag index per anchor
+    int g_start = 0, g_end = 0;
     for (int i = 0; i < n; ++i) {
       const Anchor& ai = an[i];
+      if (use_rmq && i >= g_end) {
+        // new (rev, rid) anchor group: compress its diagonals and
+        // reset the long-join trees
+        g_start = i;
+        g_end = i + 1;
+        while (g_end < n && an[g_end].rev == ai.rev &&
+               an[g_end].rid == ai.rid)
+          ++g_end;
+        ud.clear();
+        for (int j = g_start; j < g_end; ++j)
+          ud.push_back((int64_t)an[j].rpos - an[j].qpos);
+        std::sort(ud.begin(), ud.end());
+        ud.erase(std::unique(ud.begin(), ud.end()), ud.end());
+        dci.assign(g_end - g_start, 0);
+        for (int j = g_start; j < g_end; ++j)
+          dci[j - g_start] = (int32_t)(
+              std::lower_bound(ud.begin(), ud.end(),
+                               (int64_t)an[j].rpos - an[j].qpos) -
+              ud.begin());
+        tdl.init((int)ud.size());
+        tdr.init((int)ud.size());
+      }
       int32_t best = ai.span;  // init = q_span
       int32_t best_j = -1;
       int lo_j = i - max_iter < 0 ? 0 : i - max_iter;
@@ -375,8 +458,61 @@ void front_end_batch(
           best_j = j;
         }
       }
+      if (use_rmq) {
+        // RMQ long-gap pass: one candidate per diagonal side, exact
+        // re-score with the bw_long band (see DiagTree above)
+        int64_t di = (int64_t)ai.rpos - ai.qpos;
+        int ci = dci[i - g_start];
+        for (int side = 0; side < 2; ++side) {
+          int lo_c, hi_c;
+          if (side == 0) {
+            lo_c = (int)(std::lower_bound(ud.begin(), ud.end(),
+                                          di - bw_long) -
+                         ud.begin());
+            hi_c = ci;
+          } else {
+            lo_c = ci;
+            hi_c = (int)(std::upper_bound(ud.begin(), ud.end(),
+                                          di + bw_long) -
+                         ud.begin()) - 1;
+          }
+          if (lo_c > hi_c) continue;
+          auto qres = side == 0 ? tdl.query(lo_c, hi_c)
+                                : tdr.query(lo_c, hi_c);
+          int32_t j = qres.second;
+          if (j < 0 || j == best_j) continue;
+          const Anchor& aj = an[j];
+          int32_t dr = ai.rpos - aj.rpos;
+          int32_t dq = ai.qpos - aj.qpos;
+          if (dq <= 0 || dq > max_dist_x || dq > max_dist_y) continue;
+          if (dr <= 0) continue;
+          int32_t dd = dr > dq ? dr - dq : dq - dr;
+          if (dd > bw_long) continue;
+          int32_t dg = dr < dq ? dr : dq;
+          int32_t sc = dg < aj.span ? dg : aj.span;
+          if (dd != 0 || dg > aj.span) {
+            float lin =
+                chn_pen_gap * (float)dd + chn_pen_skip * (float)dg;
+            float logp = dd >= 1 ? mg_log2f((float)(dd + 1)) : 0.0f;
+            sc -= (int32_t)(lin + 0.5f * logp);
+          }
+          int32_t tot = f[j] + sc;
+          if (tot > best) {
+            best = tot;
+            best_j = j;
+          }
+        }
+      }
       f[i] = best;
       p[i] = best_j;
+      if (use_rmq) {
+        int ci = dci[i - g_start];
+        double base = (double)best + ai.span;
+        double pd = (double)chn_pen_gap *
+                    ((double)ai.rpos - (double)ai.qpos);
+        tdl.update(ci, base + pd, i);
+        tdr.update(ci, base - pd, i);
+      }
     }
 
     // ---- greedy backtrack (mm_chain_backtrack) ----

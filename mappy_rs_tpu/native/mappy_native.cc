@@ -408,14 +408,32 @@ void band_fill_scalar(const uint8_t* q, const uint8_t* t, int Q, int T,
       }
       // tracker pass in device order (s asc, lane asc, strict '>')
       {
-        int32_t diag_best = NEGI;
         for (int d = d_lo; d <= d_hi; ++d) {
           int32_t h = H1n[d];
-          if (h > diag_best) diag_best = h;
           if (h > best_sc) {
             best_sc = h;
             best_i = lo + d;
             best_j = s - (lo + d);
+          }
+        }
+        // zdrop (ksw2 semantics): the allowed drop below the running
+        // max grows with the DIAGONAL offset from the max cell at the
+        // long-gap extension slope, so long indels within the band
+        // never trip it (margin: gq2 <= zdrop) while substitution
+        // runs (diagonal-constant) still die at exactly zdrop.  A
+        // diagonal survives if ANY in-band lane is within allowance.
+        bool zdead = false;
+        if (mode != 0 && zdrop > 0 && best_sc > NEGI / 2) {
+          int32_t e_adj = (gq2 > 0 && ge2 < ge) ? ge2 : ge;
+          int32_t bd = best_i - best_j;
+          zdead = true;
+          for (int d = d_lo; d <= d_hi; ++d) {
+            int32_t off = 2 * (lo + d) - s - bd;
+            if (off < 0) off = -off;
+            if (H1n[d] >= best_sc - zdrop - e_adj * off) {
+              zdead = false;
+              break;
+            }
           }
         }
         int d_last = (Q - 1) - lo;  // lane of the last query row
@@ -434,13 +452,11 @@ void band_fill_scalar(const uint8_t* q, const uint8_t* t, int Q, int T,
           reset_sentinels(base);
         lo2 = lo1;
         lo1 = lo;
-        // zdrop early termination (ksw2 KSW_EZ_APPROX_DROP): applies
-        // to extension (mode 1) and split-enabled global (mode 2) —
-        // in mode 2 the unreached end cell marks the job dropped and
-        // the caller splits the region at the max cell
-        if (mode != 0 && zdrop > 0 && best_sc > NEGI / 2 &&
-            diag_best < best_sc - zdrop)
-          break;
+        // zdrop early termination: applies to extension (mode 1) and
+        // split-enabled global (mode 2) — in mode 2 the unreached end
+        // cell marks the job dropped and the caller splits the region
+        // at the max cell
+        if (zdead) break;
       }
     }
   tk->best_sc = best_sc;
@@ -728,6 +744,25 @@ void band_fill_avx512(const uint8_t* q0, const uint8_t* t0, int Q, int T,
         if (h > g16) { g16 = h; g_j = s - (Q - 1); g_real = true; }
         if (s == S - 1) { end16 = h; end_real = true; }
       }
+      // zdrop with ksw2's diagonal-offset allowance (see the scalar
+      // engine for the derivation; identical lane scan keeps the two
+      // paths' termination bit-identical).  diag_best >= threshold is
+      // a free early accept (allowance only grows with offset).
+      bool zdead = false;
+      if (mode != 0 && zdrop > 0 && best16 > JUNK_CUT16 &&
+          (int32_t)diag_best < (int32_t)best16 - zdrop) {
+        int32_t e_adj = (gq2 > 0 && ge2 < ge) ? ge2 : ge;
+        int32_t bd = best_i - best_j;
+        zdead = true;
+        for (int d = d_lo; d <= d_hi; ++d) {
+          int32_t off = 2 * (lo + d) - s - bd;
+          if (off < 0) off = -off;
+          if ((int32_t)H1n[d] >= (int32_t)best16 - zdrop - e_adj * off) {
+            zdead = false;
+            break;
+          }
+        }
+      }
       std::swap(H1, H2);
       std::swap(H1, H1n);
       std::swap(E1v, E1n);
@@ -736,9 +771,7 @@ void band_fill_avx512(const uint8_t* q0, const uint8_t* t0, int Q, int T,
       std::swap(F2v, F2n);
       lo2 = lo1;
       lo1 = lo;
-      if (mode != 0 && zdrop > 0 && best16 > JUNK_CUT16 &&
-          diag_best < best16 - zdrop)
-        break;
+      if (zdead) break;
     }
   }
   // map junk-domain tracker values back to the int32 "unreachable"
@@ -818,12 +851,21 @@ void extend_banded_batch(const uint8_t* qs, const uint8_t* ts,
     int32_t g_sc = tkv.g_sc, g_j = tkv.g_j, end_sc = tkv.end_sc;
     int si, sj, sc;
     if (mode == 2) {
-      // global with zdrop split (minimap2 gap-filling semantics,
-      // KSW_EZ_APPROX_DROP): when the end-cell score fell more than
-      // zdrop below the running max, the alignment is truncated at
-      // the max cell and flagged so the caller splits the region.
-      bool dropped = end_sc <= NEGI / 2 ||
-                     (zdrop > 0 && end_sc <= best_sc - zdrop);
+      // global with zdrop split (minimap2 gap-filling semantics):
+      // when the end-cell score fell below the running max by more
+      // than the DIAGONAL-ADJUSTED allowance (ksw2's rule — zdrop
+      // plus the long-gap extension slope times the diagonal offset
+      // between the end cell and the max cell, so pure long indels
+      // align through while divergence splits), the alignment is
+      // truncated at the max cell and flagged so the caller splits
+      // the region.  The in-fill early-termination check applies the
+      // same allowance per anti-diagonal.
+      int32_t e_adj = (gq2 > 0 && ge2 < ge) ? ge2 : ge;
+      int32_t dd_end = (Q - 1 - best_i) - (T - 1 - best_j);
+      if (dd_end < 0) dd_end = -dd_end;
+      bool dropped =
+          end_sc <= NEGI / 2 ||
+          (zdrop > 0 && end_sc <= best_sc - (zdrop + e_adj * dd_end));
       if (dropped && best_sc > NEGI / 2) {
         si = best_i; sj = best_j; sc = best_sc;
       } else if (end_sc > NEGI / 2) {

@@ -1,0 +1,111 @@
+"""RMQ long-gap chaining (minimap2 MM_F_RMQ / --rmq; VERDICT r1
+missing #5) and the diagonal-adjusted zdrop that SV bridging needs.
+
+The asm presets set MM_F_RMQ (config.py) and bw_long=100k: chain joins
+whose diagonal difference exceeds the normal band (bw=1000) must still
+be found, so assembly-to-reference alignment represents SVs as long
+in-CIGAR gaps.  The long-join pass lives in the native front end
+(front_end.cc DiagTree — segment-tree range-max over compressed
+diagonals with the chn_pen_gap*|ddiag| penalty folded into the stored
+proxy, exact re-score on the retrieved candidate); MM_F_RMQ presets
+route map_batch through it (models/pipeline.py).
+
+Reference contract: mm_map behind /root/reference/src/lib.rs:482 with
+an asm preset from mm_set_opt (lib.rs:388); SURVEY.md §2b N1/N9.
+"""
+import numpy as np
+import pytest
+
+import mappy_rs_tpu
+from mappy_rs_tpu import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="RMQ chaining needs the native lib"
+)
+
+
+@pytest.fixture(scope="module")
+def genome():
+    rng = np.random.default_rng(5)
+    return "".join(rng.choice(list("ACGT"), size=60_000))
+
+
+def test_asm5_bridges_6kb_deletion(genome):
+    """A contig missing 6kb relative to the reference: dd=6000 is far
+    over the normal chain band (bw=1000) but within bw_long — one
+    mapping with a ~6000D op, like minimap2 --rmq."""
+    al = mappy_rs_tpu.Aligner(seq=genome, preset="asm5")
+    read = genome[10_000:16_000] + genome[22_000:28_000]
+    hits = al.map(read)
+    assert len(hits) == 1, [(h.r_st, h.r_en) for h in hits]
+    m = hits[0]
+    assert m.r_st == 10_000 and abs(m.r_en - 28_000) < 20
+    assert any(ln >= 5900 and op == 2 for ln, op in m.cigar), m.cigar_str
+    assert al.metrics.get("zdrop_splits", 0) == 0
+
+
+def test_asm5_bridges_3kb_insertion(genome):
+    al = mappy_rs_tpu.Aligner(seq=genome, preset="asm5")
+    rng = np.random.default_rng(7)
+    ins = "".join(rng.choice(list("ACGT"), size=3000))
+    read = genome[30_000:36_000] + ins + genome[36_000:42_000]
+    hits = al.map(read)
+    assert len(hits) == 1, [(h.r_st, h.r_en) for h in hits]
+    m = hits[0]
+    assert any(ln >= 2900 and op == 1 for ln, op in m.cigar), m.cigar_str
+
+
+def test_non_rmq_preset_still_splits(genome):
+    """map-ont (no MM_F_RMQ, bw=500): the same 6kb-deletion read can't
+    chain across the gap, so it yields two mappings — the long join is
+    preset-gated, not unconditional."""
+    al = mappy_rs_tpu.Aligner(seq=genome, preset="map-ont")
+    read = genome[10_000:16_000] + genome[22_000:28_000]
+    hits = al.map(read)
+    assert len(hits) >= 2, [(h.r_st, h.r_en) for h in hits]
+
+
+def test_chain_level_join(genome):
+    """Directly at the native front end: without use_rmq two chains,
+    with it one joined chain whose span covers both blocks and whose
+    score reflects the chn_pen_gap*dd + log2(dd) long-join penalty."""
+    al = mappy_rs_tpu.Aligner(seq=genome, preset="asm5")
+    eng = al._engine
+    read = genome[10_000:16_000] + genome[22_000:28_000]
+    codes = np.frombuffer(read.encode(), np.uint8)
+    lut = np.full(256, 4, np.uint8)
+    for i, c in enumerate("ACGT"):
+        lut[ord(c)] = i
+    codes = lut[codes]
+    out = {}
+    for rmq in (False, True):
+        chains, _, _ = native.front_end_batch(
+            eng.index, [codes], eng.opt.mid_occ, eng._chain_params,
+            eng.cfg.cpu_chain_max_iter, eng.opt.min_cnt,
+            eng.opt.min_chain_score, eng.cfg.backtrack_k,
+            8, eng.SEG_LEN, bw_long=eng.opt.bw_long, use_rmq=rmq,
+        )
+        c = chains[0]
+        out[rmq] = c[c[:, 0] > 0]
+    assert len(out[False]) == 2 and len(out[True]) == 1
+    joined = out[True][0]
+    # spans both blocks
+    assert joined[4] < 16_000 and joined[5] > 22_000
+    # the join pays the long-gap penalty: score below the sum of the
+    # two split chains but far above either alone
+    s_split = int(out[False][:, 0].sum())
+    assert int(out[False][:, 0].max()) < joined[0] < s_split
+
+
+def test_divergent_junk_still_splits_under_rmq(genome):
+    """RMQ + adjusted zdrop must not let diagonal-constant divergence
+    through: a 2kb junk patch REPLACING 2kb of reference (net diagonal
+    0) still splits into two mappings."""
+    rng = np.random.default_rng(13)
+    junk = "".join(rng.choice(list("ACGT"), size=2000))
+    read = genome[10_000:16_000] + junk + genome[18_000:24_000]
+    al = mappy_rs_tpu.Aligner(seq=genome, preset="asm5")
+    hits = al.map(read)
+    assert len(hits) >= 2, [
+        (h.q_st, h.q_en, h.r_st, h.r_en) for h in hits
+    ]

@@ -64,6 +64,28 @@ def test_short_patch_absorbed():
     assert abs(hits[0].target_end - 3450) < 10
 
 
+def test_long_deletion_aligns_through():
+    """ksw2's zdrop allowance grows with the diagonal offset from the
+    max cell at the long-gap extension slope, so a pure deletion whose
+    cost exceeds zdrop (q2 + L*e2 = 474 > 400) still aligns THROUGH as
+    one mapping with a long D op — only diagonal-constant divergence
+    (substitutions) dies at zdrop.  An unadjusted `max - diag_best >
+    zdrop` criterion wrongly splits this read."""
+    rng, genome = _mk(seed=12)
+    # 450bp deletion: within map-ont's chain band (bw=500) so one
+    # chain bridges it, and dual-affine cost 24 + 450*1 > zdrop=400
+    read = genome[2000:2600] + genome[3050:3650]
+    al = mappy_rs_tpu.Aligner(seq=genome, preset="map-ont")
+    hits = al.map(read)
+    assert len(hits) == 1, [(h.target_start, h.target_end) for h in hits]
+    m = hits[0]
+    assert m.target_start == 2000 and abs(m.target_end - 3650) < 10
+    assert any(
+        ln >= 440 and op == 2 for ln, op in m.cigar
+    ), m.cigar_str
+    assert al.metrics.get("zdrop_splits", 0) == 0
+
+
 def test_clean_reads_never_split():
     rng, genome = _mk(seed=9)
     al = mappy_rs_tpu.Aligner(seq=genome, preset="map-ont")
