@@ -466,7 +466,7 @@ class Aligner:
         if not hasattr(self, "_shards_dev"):
             shards = {}
             for name, arr in self._shards_np.items():
-                if name in ("ref_codes", "seq_offsets"):
+                if name in ("seq_offsets",):
                     sh = jax.sharding.NamedSharding(mesh, P())
                 elif arr.ndim == 1:
                     sh = jax.sharding.NamedSharding(mesh, P("index"))

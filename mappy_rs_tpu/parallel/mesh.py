@@ -35,6 +35,11 @@ from ..ops.sketch import sketch_compact
 
 P = jax.sharding.PartitionSpec
 
+#: right-edge overlap of each reference block (bases): every score-only
+#: extension window (TWIN = L + ext_window) must fit inside the owning
+#: block, so ref sharding supports reads up to REF_OVERLAP - ext_window
+REF_OVERLAP = 8192
+
 
 def make_mesh(n_data: int, n_index: int = 1) -> jax.sharding.Mesh:
     devices = np.asarray(jax.devices()[: n_data * n_index]).reshape(
@@ -92,9 +97,19 @@ def shard_index_by_key_range(
     for s in range(n_shards):
         pos_rid[s, : pos_widths[s]] = pos_rid_shards[s]
         pos_ps[s, : pos_widths[s]] = pos_ps_shards[s]
+    # the packed reference is SHARDED too (GRCh38-scale indexes don't
+    # fit replicated): n contiguous blocks with a REF_OVERLAP right
+    # margin so any extension window starting inside a block fits in
+    # it; the owning shard computes the extension and the result is
+    # merged with one tiny pmax over the "index" axis.
     ref_pad = ((len(index.ref_codes) + 127) // 128 + 1) * 128
-    ref = np.full(ref_pad, 4, np.uint8)
+    blk = ((ref_pad + n_shards - 1) // n_shards + 127) // 128 * 128
+    total = n_shards * blk + REF_OVERLAP
+    ref = np.full(total, 4, np.uint8)
     ref[: len(index.ref_codes)] = index.ref_codes
+    ref_blocks = np.empty((n_shards, blk + REF_OVERLAP), np.uint8)
+    for s in range(n_shards):
+        ref_blocks[s] = ref[s * blk : s * blk + blk + REF_OVERLAP]
     # seq_offsets rides to device as int32: past 2^31 bp the
     # concatenated-reference coordinates (diag_start, ext_end_t) would
     # silently wrap.  Refuse until per-shard offset rebasing lands.
@@ -111,7 +126,7 @@ def shard_index_by_key_range(
         "n_keys": n_keys,
         "pos_rid": pos_rid,
         "pos_ps": pos_ps,
-        "ref_codes": ref,  # replicated (sharding the ref itself: next round)
+        "ref_blocks": ref_blocks,  # [n_shards, blk + REF_OVERLAP]
         "seq_offsets": index.seq_offsets.astype(np.int32)[:-1],
     }
 
@@ -127,6 +142,7 @@ def build_sharded_map_step(
     mid_occ: int,
     chain_window: int = 16,
     ext_window: int = 64,
+    ref_len_pad: int = 0,
 ):
     """Jitted full map step over a (data, index) mesh.
 
@@ -137,6 +153,14 @@ def build_sharded_map_step(
     This is the device-only "decision mode" pipeline (readfish-style:
     where does this read map, with what confidence) — the CIGAR path
     additionally runs traceback host-side.
+
+    The reference is sharded into contiguous blocks over the "index"
+    axis (shard_index_by_key_range "ref_blocks"); the shard owning a
+    read's extension window computes it and the scalar results merge
+    with a pmax — nothing reference-sized is ever replicated, which is
+    what makes GRCh38-scale multi-host layouts fit.  `ref_len_pad`
+    (the unsharded padded reference length) bounds window starts; 0
+    derives it from the block shapes (includes the tail padding).
     """
     A_loc = max_anchors
 
@@ -149,7 +173,7 @@ def build_sharded_map_step(
         n_keys = sh["n_keys"][0]
         pos_rid = sh["pos_rid"][0]
         pos_ps = sh["pos_ps"][0]
-        ref_codes = sh["ref_codes"]
+        ref_block = sh["ref_blocks"][0]  # [blk + REF_OVERLAP] local
 
         mins = sketch_compact(codes, lens, k, w, max_minimizers)
         loc = collect_anchors(
@@ -198,18 +222,33 @@ def build_sharded_map_step(
         best_rid = anchors["rid"][rows, best]
 
         # score-only banded extension of the whole read against a ref
-        # window on the best chain's diagonal (device-only fast path)
+        # window on the best chain's diagonal.  The merged anchors (and
+        # so the best chain and its window) are identical on every
+        # "index" peer of a data row; only the peer whose reference
+        # block CONTAINS the window computes a real extension, and the
+        # two scalars per read merge with a pmax over "index" (tiny
+        # ICI/DCN traffic instead of a replicated reference).
         L = codes.shape[1]
         W = ext_window
         TWIN = L + W
+        if TWIN > REF_OVERLAP:
+            raise ValueError(
+                f"extension window {TWIN} exceeds REF_OVERLAP "
+                f"{REF_OVERLAP}; reads this long need a larger overlap"
+            )
+        blk = ref_block.shape[0] - REF_OVERLAP
+        n_idx = mesh.shape["index"]
+        bound = (ref_len_pad if ref_len_pad > 0
+                 else n_idx * blk + REF_OVERLAP)
         # global concatenated-ref offset of query position 0
         diag_start = sh["seq_offsets"][best_rid] + best_rpos - best_qpos
-        start = jnp.clip(
-            diag_start - W // 2, 0, max(ref_codes.shape[0] - TWIN, 0)
-        )
+        start = jnp.clip(diag_start - W // 2, 0, max(bound - TWIN, 0))
+        owner = start // blk
+        mine = owner == jax.lax.axis_index("index")
+        local_off = jnp.clip(start - owner * blk, 0, blk + REF_OVERLAP - TWIN)
         twin = jax.vmap(
-            lambda s: jax.lax.dynamic_slice_in_dim(ref_codes, s, TWIN)
-        )(start)
+            lambda s: jax.lax.dynamic_slice_in_dim(ref_block, s, TWIN)
+        )(local_off)
         q_al = jnp.where(
             best_rev[:, None] == 1,
             _revcomp_batch(codes, lens),
@@ -220,13 +259,20 @@ def build_sharded_map_step(
             jnp.minimum(lens + W, TWIN), L, TWIN, W,
             ext_params, score_only=True,
         )
+        neg = jnp.int32(-(1 << 30))
+        ext_sc = jax.lax.pmax(
+            jnp.where(mine, ext["best_sc"], neg), "index"
+        )
+        ext_end = jax.lax.pmax(
+            jnp.where(mine, start + ext["best_j"] + 1, neg), "index"
+        )
         return {
             "chain_score": best_score,
             "rev": best_rev,
             "rid": best_rid,
             "rpos": best_rpos,
-            "ext_score": ext["best_sc"],
-            "ext_end_t": start + ext["best_j"] + 1,
+            "ext_score": ext_sc,
+            "ext_end_t": ext_end,
         }
 
     shard_specs = {
@@ -237,7 +283,7 @@ def build_sharded_map_step(
         "n_keys": P("index"),
         "pos_rid": P("index", None),
         "pos_ps": P("index", None),
-        "ref_codes": P(),
+        "ref_blocks": P("index", None),
         "seq_offsets": P(),
     }
     out_spec = P("data")

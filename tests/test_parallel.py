@@ -30,6 +30,24 @@ def test_index_key_range_sharding_roundtrip():
         int(sh["counts"][s][: int(sh["n_keys"][s])].sum()) for s in range(4)
     )
     assert total == len(idx.positions)
+    # the packed reference is sharded into overlapped blocks, not
+    # replicated: blocks reassemble to the reference, and each shard
+    # holds ~1/4 of it (+ the fixed REF_OVERLAP margin)
+    from mappy_rs_tpu.parallel.mesh import REF_OVERLAP
+
+    blk = sh["ref_blocks"].shape[1] - REF_OVERLAP
+    assert blk * 4 >= len(idx.ref_codes)
+    recat = np.concatenate([sh["ref_blocks"][s][:blk] for s in range(4)])
+    assert np.array_equal(
+        recat[: len(idx.ref_codes)], idx.ref_codes
+    )
+    for s in range(4):
+        lo = s * blk
+        span = min(blk + REF_OVERLAP, len(idx.ref_codes) - lo)
+        if span > 0:
+            assert np.array_equal(
+                sh["ref_blocks"][s][:span], idx.ref_codes[lo : lo + span]
+            )
 
 
 def test_map_batch_positions_sharded():
