@@ -191,6 +191,11 @@ def _run() -> None:
     m = al.metrics
     print(
         f"# {baseline_note}\n"
+        f"# vs_baseline uses the MEASURED same-hardware CPU aligner "
+        f"(BASELINE.md's 32-thread host is not measurable on this "
+        f"{n_cpu}-core box); round-1 driver capture was 814.4 reads/s "
+        f"on a 1Mbp cache-resident genome -> this run = "
+        f"{rps / 814.4:.2f}x that headline at 32x the genome scale\n"
         f"# accuracy: {n_correct}/{N_READS} within 100bp of truth; "
         f"mapped {n_hit}/{N_READS} reads in {dt:.2f}s "
         f"({READ_LEN}bp, {ERROR_RATE:.0%} err, {GENOME_LEN/1e6:.0f}Mbp ref); "

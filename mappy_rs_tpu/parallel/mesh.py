@@ -41,8 +41,24 @@ P = jax.sharding.PartitionSpec
 REF_OVERLAP = 8192
 
 
-def make_mesh(n_data: int, n_index: int = 1) -> jax.sharding.Mesh:
-    devices = np.asarray(jax.devices()[: n_data * n_index]).reshape(
+def make_mesh(
+    n_data: int, n_index: int = 1, devices=None
+) -> jax.sharding.Mesh:
+    """(data, index) mesh over local or global devices.
+
+    Multi-host layout rule: the ONLY cross-device collectives in the
+    sharded map step ride the "index" axis (anchor all_gather + the
+    extension pmax), so "index" must stay INSIDE a host (ICI) and
+    "data" can span hosts (nothing crosses it, so DCN carries zero
+    aligner traffic).  `jax.devices()` under `jax.distributed` lists
+    all global devices grouped by process, and this reshape puts
+    mesh-adjacent devices along "index" — i.e. the DCN-safe layout
+    falls out of device order as long as n_index divides the per-host
+    chip count.  Pass `devices` to override (e.g. a torus-aware
+    `mesh_utils.create_device_mesh`)."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[: n_data * n_index]).reshape(
         n_data, n_index
     )
     return jax.sharding.Mesh(devices, ("data", "index"))
