@@ -97,6 +97,22 @@ def test_chain_level_join(genome):
     assert int(out[False][:, 0].max()) < joined[0] < s_split
 
 
+def test_extra_flags_rmq_on_map_ont(genome):
+    """minimap2's --rmq analog: extra_flags=MM_F_RMQ on a non-asm
+    preset activates long-gap chaining (with map-ont's bw_long=20k),
+    bridging the 6kb deletion that stock map-ont splits (see
+    test_non_rmq_preset_still_splits)."""
+    from mappy_rs_tpu.config import MM_F_RMQ
+
+    al = mappy_rs_tpu.Aligner(
+        seq=genome, preset="map-ont", extra_flags=MM_F_RMQ
+    )
+    read = genome[10_000:16_000] + genome[22_000:28_000]
+    hits = al.map(read)
+    assert len(hits) == 1, [(h.r_st, h.r_en) for h in hits]
+    assert any(ln >= 5900 and op == 2 for ln, op in hits[0].cigar)
+
+
 def test_divergent_junk_still_splits_under_rmq(genome):
     """RMQ + adjusted zdrop must not let diagonal-constant divergence
     through: a 2kb junk patch REPLACING 2kb of reference (net diagonal
