@@ -120,3 +120,55 @@ def test_map_batch_mesh_identical_mappings():
     multi = run(True)
     assert single == multi
     assert sum(1 for r in single if r) >= 22  # the workload actually maps
+
+
+def test_readfish_microbatch_decisions():
+    """Adaptive-sampling shape (BASELINE config 5): a stream of
+    latency-bound MICRO-batches of 350-450bp read prefixes through the
+    sharded decision mode — every chunk must be called to the right
+    contig/strand with a confident chain, including single-read
+    batches, and repeated calls must reuse the compiled step (one
+    shape bucket)."""
+    import numpy as np
+
+    import mappy_rs_tpu
+    from mappy_rs_tpu.utils.seqcodes import read_fastx
+
+    al = mappy_rs_tpu.Aligner("/root/reference/resources/test/test.mmi")
+    al.enable_sharding(n_data=4, n_index=2)
+    seqs = dict(read_fastx("/root/reference/resources/test/test.fa"))
+    names = list(seqs)
+    rng = np.random.default_rng(3)
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    n_calls = 0
+    for batch_size in (1, 2, 4, 3, 1, 8):
+        picks = [names[int(rng.integers(len(names)))] for _ in range(batch_size)]
+        chunk = []
+        want = []
+        for nm in picks:
+            s = seqs[nm][: int(rng.integers(350, 450))]
+            rev = rng.random() < 0.5
+            if rev:
+                s = "".join(comp[c] for c in reversed(s))
+            chunk.append(s)
+            want.append((nm, -1 if rev else 1))
+        res = al.map_batch_positions(chunk)
+        n_calls += 1
+        for r, (nm, strand) in zip(res, want):
+            assert r is not None and r["ctg"] == nm and r["strand"] == strand
+            assert r["chain_score"] > 200
+    assert len(al._sharded_steps) == 1  # one L bucket -> one compile
+
+
+def test_sharding_refuses_int32_overflow_reference():
+    """References past 2^31 bp must refuse loudly (int32 device
+    coordinates would silently wrap — ADVICE r1 medium)."""
+    from mappy_rs_tpu.index.build import load_or_build
+    from mappy_rs_tpu.parallel.mesh import shard_index_by_key_range
+
+    idx = load_or_build("/root/reference/resources/test/test.mmi")
+    object.__setattr__(
+        idx, "_seq_offsets_cache", np.array([0, 2**31], np.int64)
+    )
+    with pytest.raises(OverflowError):
+        shard_index_by_key_range(idx, 2)
