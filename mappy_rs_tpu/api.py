@@ -68,6 +68,7 @@ class Mapping:
         "NM",
         "MD",
         "cs",
+        "trans_strand",
     )
 
     def __init__(
@@ -87,6 +88,7 @@ class Mapping:
         NM: int,
         MD: Optional[str] = None,
         cs: Optional[str] = None,
+        trans_strand: int = 0,
     ):
         self.query_start = query_start
         self.query_end = query_end
@@ -103,6 +105,10 @@ class Mapping:
         self.NM = NM
         self.MD = MD
         self.cs = cs
+        # transcript strand from splice mode (+1/-1, 0 = none found).
+        # mappy.Alignment exposes this field; the reference's Mapping
+        # does not carry it, so it is a documented superset here.
+        self.trans_strand = trans_strand
 
     # --- mappy-compatible aliases (lib.rs:195-284) ---------------------
     @property
@@ -579,6 +585,7 @@ class Aligner:
                     NM=r.nm,
                     MD=r.md,
                     cs=r.cs,
+                    trans_strand=getattr(r, "trans_strand", 0),
                 )
             )
         return out

@@ -121,6 +121,13 @@ class MapOptions:
     transition: int = 0
     zdrop: int = 400
     zdrop_inv: int = 200
+    # splice-mode scoring (minimap2 mm_mapopt_t noncan/junc_bonus):
+    # noncan = extra open/close cost for non-GT..AG (non-CT..AC) introns;
+    # junc_bonus applies only with a junction BED annotation, which this
+    # build (like the reference surface) does not load — kept for option
+    # -struct parity.
+    noncan: int = 0
+    junc_bonus: int = 9
     end_bonus: int = -1
     min_dp_max: int = 80  # = min_chain_score * a
     min_ksw_len: int = 200
@@ -204,14 +211,25 @@ def _apply_preset(preset: str, io: IndexOptions, mo: MapOptions) -> None:
         else:
             mo.a, mo.b, mo.q, mo.e, mo.q2, mo.e2 = 1, 4, 6, 2, 26, 1
             mo.zdrop, mo.zdrop_inv = 200, 200
-    elif preset in ("splice", "splice:hq"):
-        # spliced (RNA) chaining/alignment needs the is_splice scoring
-        # branch and intron-aware extension, which this build does not
-        # implement yet — refuse rather than silently mis-map RNA reads
-        raise NotImplementedError(
-            "splice presets are not supported yet (spliced chaining and "
-            "intron-aware extension are unimplemented)"
+    elif preset in ("splice", "splice:hq", "cdna"):
+        # minimap2 2.26 options.c splice table: spliced (RNA) mapping —
+        # log-cost reference gaps in chaining, intron-state extension
+        # with GT..AG/CT..AC signal scoring (N CIGAR ops, cs `~`).
+        io.flag = 0
+        io.k, io.w = 15, 5
+        mo.flag |= (
+            MM_F_SPLICE | MM_F_SPLICE_FOR | MM_F_SPLICE_REV
+            | MM_F_SPLICE_FLANK
         )
+        mo.max_sw_mat = 0  # no DP-matrix size cap: introns are long
+        mo.max_gap = 2000
+        mo.max_gap_ref = mo.bw = mo.bw_long = 200000
+        mo.a, mo.b, mo.q, mo.e, mo.q2, mo.e2 = 1, 2, 2, 1, 32, 0
+        mo.noncan = 9
+        mo.zdrop, mo.zdrop_inv = 200, 100
+        if preset == "splice:hq":
+            mo.junc_bonus = 5
+            mo.b, mo.q, mo.e, mo.q2 = 4, 6, 2, 24
     else:
         raise ValueError(f"Unknown preset: {preset!r}")
 

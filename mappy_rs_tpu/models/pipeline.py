@@ -18,7 +18,9 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..config import MM_F_RMQ
+from ..config import MM_F_RMQ, MM_F_SPLICE, MM_F_SPLICE_FLANK
+from ..config import MM_F_SPLICE_FOR as _MM_F_SPLICE_FOR
+from ..config import MM_F_SPLICE_REV as _MM_F_SPLICE_REV
 from ..config import MM_F_SR as _MM_F_SR
 from ..config import AlignerConfig, MapOptions
 from ..index.index import MinimizerIndex
@@ -243,6 +245,7 @@ class AlignmentEngine:
         self._dp_fes: Dict[tuple, Any] = {}
         self.metrics = EngineMetrics()
         max_gap_ref = opt.max_gap_ref if opt.max_gap_ref >= 0 else opt.max_gap
+        self.is_splice = bool(opt.flag & MM_F_SPLICE)
         self._chain_params = ChainParams(
             max_dist_x=max_gap_ref,
             max_dist_y=opt.max_gap,
@@ -250,6 +253,7 @@ class AlignmentEngine:
             q_span=index.k,
             chn_pen_gap=opt.chain_gap_scale * 0.01 * index.k,
             chn_pen_skip=opt.chain_skip_scale * 0.01 * index.k,
+            is_splice=int(self.is_splice),
         )
 
     # ------------------------------------------------------------------
@@ -774,6 +778,11 @@ class AlignmentEngine:
         # flank ref overhang: the static band covers gaps up to ~W/2,
         # so a wider ref window than q + W/2 is unreachable anyway
         bw = min(self.opt.bw, self.flank_band // 2)
+        if self.is_splice:
+            # splice flanks run the UNBANDED intron-state DP, so the
+            # window is a cost knob, not a band: allow a terminal exon
+            # across an intron up to max_gap (2000 for splice presets)
+            bw = max(bw, self.opt.max_gap)
         for r in regions:
             q_al = codes if r.rev == 0 else _revcomp(codes)
             qs_a = r.qs if r.rev == 0 else qlen - r.qe
@@ -860,6 +869,9 @@ class AlignmentEngine:
         import jax.numpy as jnp
 
         if not jobs:
+            return
+        if self.is_splice:
+            self._run_jobs_splice(jobs)
             return
         from .. import native
 
@@ -1072,6 +1084,83 @@ class AlignmentEngine:
                     job.region, f"_{job.kind}", (c, sc, si0 + 1, sj0 + 1)
                 )
         return retry
+
+    def _run_jobs_splice(self, jobs: List[_ExtJob]) -> None:
+        """Splice-mode extension: every job runs the intron-state DP
+        (C++ splice_align_batch; ops/splice.py when the lib is absent).
+        minimap2 aligns each region under both transcript senses when
+        MM_F_SPLICE_FOR|REV are set and keeps the higher-scoring round
+        (align.c's two-round splice loop); mirrored here per REGION so
+        all segments share one sense.  The winning sense is recorded as
+        trans_strand (+1/-1, 0 when no intron was found)."""
+        with self.metrics.timer("extend"):
+            senses = []
+            if self.opt.flag & _MM_F_SPLICE_FOR:
+                senses.append(1)
+            if self.opt.flag & _MM_F_SPLICE_REV:
+                senses.append(-1)
+            if not senses:
+                senses = [1]
+            flank_sig = bool(self.opt.flag & MM_F_SPLICE_FLANK)
+            by_region: Dict[int, List[_ExtJob]] = {}
+            for j in jobs:
+                by_region.setdefault(id(j.region), []).append(j)
+            for jl in by_region.values():
+                region = jl[0].region
+                # a second sense only matters if some segment can hold
+                # an intron (ref span materially exceeds query span)
+                may_intron = any(len(x.t) - len(x.q) >= 20 for x in jl)
+                use = senses if (may_intron and len(senses) > 1) else senses[:1]
+                best = None
+                for sense in use:
+                    results = [
+                        self._splice_one(x, sense, flank_sig) for x in jl
+                    ]
+                    tot = sum(r[1] for r in results)
+                    if best is None or tot > best[0]:
+                        best = (tot, sense, results)
+                _, sense, results = best
+                has_n = any(
+                    len(r[0]) and bool(((np.asarray(r[0]) & 0xF) == 3).any())
+                    for r in results
+                )
+                region.trans_strand = sense if has_n else 0
+                for x, (ops, sc, qc, tc) in zip(jl, results):
+                    if x.kind == "mid":
+                        x.region._mid_parts[x.seg] = (ops, sc)  # type: ignore[attr-defined]
+                    elif len(ops) or sc > 0:
+                        setattr(x.region, f"_{x.kind}", (ops, sc, qc, tc))
+                    else:
+                        self._store_empty(x)
+
+    def _splice_one(self, job: _ExtJob, sense: int, flank_sig: bool):
+        """One splice DP job -> (packed ops, score, q_used, t_used)."""
+        q, t = job.q, job.t
+        if len(q) == 0 or len(t) == 0:
+            return (_EMPTY_OPS, 0, 0, 0)
+        from .. import native
+
+        mode = 2 if job.kind == "mid" else 1
+        rev = job.kind == "left"  # left flanks walk outward (reversed)
+        o = self.opt
+        self.metrics.add("dp_cells", float(len(q)) * len(t))
+        if native.available():
+            res = native.splice_align_batch(
+                np.ascontiguousarray(q)[None, :],
+                np.ascontiguousarray(t)[None, :],
+                np.asarray([len(q)], np.int32),
+                np.asarray([len(t)], np.int32),
+                o.a, o.b, o.q, o.e, o.q2, o.noncan, o.sc_ambi,
+                o.end_bonus, mode, sense, flank_sig, rev,
+            )
+            if res is not None:
+                return res[0]
+        from ..ops.splice import splice_align
+
+        return splice_align(
+            np.asarray(q), np.asarray(t), o.a, o.b, o.q, o.e, o.q2,
+            o.noncan, o.sc_ambi, sense, flank_sig, mode, o.end_bonus, rev,
+        )
 
     def _run_jobs_host(self, jobs: List[_ExtJob]) -> None:
         """All extension jobs through the C++ banded DP (bit-identical

@@ -71,6 +71,17 @@ def _load() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         ]
     )
+    lib.splice_align_batch.argtypes = (
+        [np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")] * 2
+        + [np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")] * 2
+        + [ctypes.c_int] * 15
+        + [
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ]
+    )
     lib.extend_set_force_scalar.argtypes = [ctypes.c_int]
     lib.sketch_contig.restype = ctypes.c_int64
     lib.sketch_contig.argtypes = [
@@ -131,6 +142,7 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int32,  # max_iter
         ctypes.c_int32,  # bw_long
         ctypes.c_int32,  # use_rmq
+        ctypes.c_int32,  # is_splice
         ctypes.c_int32,  # min_cnt
         ctypes.c_int32,  # min_sc
         ctypes.c_int32,  # K
@@ -472,6 +484,7 @@ def front_end_batch(
         int(chain_params.bw), float(chain_params.chn_pen_gap),
         float(chain_params.chn_pen_skip), int(max_iter),
         int(bw_long), int(bool(use_rmq)),
+        int(getattr(chain_params, "is_splice", 0)),
         int(min_cnt), int(min_sc), int(K), int(seg_cuts), int(seg_len),
         chains.reshape(-1), rep_len, n_anchors,
     )
@@ -545,6 +558,56 @@ def extend_small_batch(
             return None  # overflow; caller falls back
         res.append((out_ops[j, :n].copy(), int(out_info[j, 0]),
                     int(out_info[j, 1]), int(out_info[j, 2])))
+    return res
+
+
+def splice_align_batch(
+    q: np.ndarray,  # [J, QS] uint8, padded
+    t: np.ndarray,  # [J, TS] uint8, padded
+    qlen: np.ndarray,
+    tlen: np.ndarray,
+    a: int, b: int, gapo: int, gape: int, q2: int, noncan: int,
+    sc_ambi: int,
+    end_bonus: int,
+    mode: int,  # 2 global, 1 extension (ops/splice.py semantics)
+    sense: int,  # +1 GT..AG, -1 CT..AC
+    flank: bool,
+    reversed_seq: bool,
+    max_ops: int = 0,
+):
+    """Splice-aware DP (intron state, N ops) on the host — the C++
+    twin of ops/splice.splice_align, bit-identical.  Returns per-job
+    (packed ops, score, q_consumed, t_consumed), or None if the
+    native library is unavailable or a job overflowed max_ops."""
+    lib = _load()
+    if lib is None:
+        return None
+    J, QS = q.shape
+    TS = t.shape[1]
+    if max_ops <= 0:
+        max_ops = 2 * (QS + TS) + 8
+    out_ops = np.zeros((J, max_ops), np.int32)
+    out_n = np.zeros(J, np.int32)
+    out_info = np.zeros((J, 3), np.int32)
+    lib.splice_align_batch(
+        np.ascontiguousarray(q), np.ascontiguousarray(t),
+        np.ascontiguousarray(qlen, np.int32),
+        np.ascontiguousarray(tlen, np.int32),
+        J, QS, TS,
+        int(a), int(b), int(gapo), int(gape), int(q2), int(noncan),
+        int(sc_ambi), int(end_bonus), int(mode), int(sense),
+        int(bool(flank)), int(bool(reversed_seq)),
+        out_ops.reshape(-1), out_n, max_ops, out_info.reshape(-1),
+    )
+    res = []
+    for j in range(J):
+        n = int(out_n[j])
+        if n < 0:
+            return None
+        res.append(
+            (out_ops[j, :n].copy(), int(out_info[j, 0]),
+             int(out_info[j, 1]), int(out_info[j, 2]))
+        )
     return res
 
 

@@ -285,6 +285,7 @@ void front_end_batch(
     // chain params
     int32_t max_dist_x, int32_t max_dist_y, int32_t bw, float chn_pen_gap,
     float chn_pen_skip, int32_t max_iter, int32_t bw_long, int32_t use_rmq,
+    int32_t is_splice,
     // backtrack params
     int32_t min_cnt, int32_t min_sc, int32_t K, int32_t seg_cuts,
     int32_t seg_len,
@@ -450,7 +451,10 @@ void front_end_batch(
         if (dd != 0 || dg > aj.span) {
           float lin = chn_pen_gap * (float)dd + chn_pen_skip * (float)dg;
           float logp = dd >= 1 ? mg_log2f((float)(dd + 1)) : 0.0f;
-          sc -= (int32_t)(lin + 0.5f * logp);
+          if (is_splice && dr > dq)  // candidate intron: log-cost gap
+            sc -= (int32_t)(lin < logp ? lin : logp);
+          else
+            sc -= (int32_t)(lin + 0.5f * logp);
         }
         int32_t tot = f[j] + sc;
         if (tot > best) {  // strictly greater: largest j wins ties
@@ -494,7 +498,10 @@ void front_end_batch(
             float lin =
                 chn_pen_gap * (float)dd + chn_pen_skip * (float)dg;
             float logp = dd >= 1 ? mg_log2f((float)(dd + 1)) : 0.0f;
-            sc -= (int32_t)(lin + 0.5f * logp);
+            if (is_splice && dr > dq)
+              sc -= (int32_t)(lin < logp ? lin : logp);
+            else
+              sc -= (int32_t)(lin + 0.5f * logp);
           }
           int32_t tot = f[j] + sc;
           if (tot > best) {

@@ -254,6 +254,208 @@ void extend_small_batch(const uint8_t* qs, const uint8_t* ts,
 }  // extern "C"
 
 // ---------------------------------------------------------------------
+// Splice-aware DP (ksw_exts2-class): match/mismatch + one affine gap
+// pair + an intron state (open q2 + donor penalty, zero per-base,
+// close + acceptor penalty) emitting BAM N ops.  Scoring model, signal
+// motifs, and every tie rule are EXACTLY ops/splice.py's (the python
+// oracle); tests/test_splice.py asserts bit-identical output.
+
+namespace {
+
+// per-position donor/acceptor penalties (ops/splice.py
+// splice_site_tables): sense +1 = GT..AG, -1 = CT..AC; reversed_seq
+// matches the reversed images (left flanks run on reversed sequences).
+void splice_tables(const uint8_t* t, int T, int sense, int flank,
+                   int noncan, int reversed_seq, std::vector<int32_t>& don,
+                   std::vector<int32_t>& acc) {
+  don.assign(T, noncan);
+  acc.assign(T, noncan);
+  int o0, o1, of0, of1, c0, c1, cf0, cf1;
+  if (!reversed_seq) {
+    o0 = sense > 0 ? 2 : 1; o1 = 3; of0 = 0; of1 = 2;   // GT(R) / CT(R)
+    c0 = 0; c1 = sense > 0 ? 2 : 1; cf0 = 1; cf1 = 3;   // (Y)AG / (Y)AC
+  } else {
+    o0 = sense > 0 ? 2 : 1; o1 = 0; of0 = 1; of1 = 3;   // GA(Y) / CA(Y)
+    c0 = 3; c1 = sense > 0 ? 2 : 1; cf0 = 0; cf1 = 2;   // (R)TG / (R)TC
+  }
+  auto at = [&](int j) -> int { return (j < 0 || j >= T) ? 4 : t[j]; };
+  for (int j = 0; j < T; ++j) {
+    bool open2 = at(j) == o0 && at(j + 1) == o1;
+    bool close2 = at(j - 1) == c0 && at(j) == c1;
+    if (flank) {
+      bool ofull = open2 && (at(j + 2) == of0 || at(j + 2) == of1);
+      bool cfull = close2 && (at(j - 2) == cf0 || at(j - 2) == cf1);
+      don[j] = ofull ? 0 : (open2 ? noncan / 2 : noncan);
+      acc[j] = cfull ? 0 : (close2 ? noncan / 2 : noncan);
+    } else {
+      don[j] = open2 ? 0 : noncan;
+      acc[j] = close2 ? 0 : noncan;
+    }
+  }
+}
+
+// direction byte layout (ops/splice.py)
+constexpr uint8_t SPL_SRC_MASK = 0x03;  // 0=M 1=E(D) 2=F(I) 3=A(N)
+constexpr uint8_t SPL_E_CONT = 0x04;
+constexpr uint8_t SPL_F_CONT = 0x08;
+constexpr uint8_t SPL_A_CONT = 0x10;
+
+}  // namespace
+
+extern "C" {
+
+// mode 2 = global (both ends pinned), 1 = extension (best cell with
+// the end-bonus full-query rule).  out_info[3*job..] = [score,
+// q_consumed, t_consumed]; out_n = -1 on ops overflow.
+void splice_align_batch(const uint8_t* qs, const uint8_t* ts,
+                        const int32_t* qlen, const int32_t* tlen, int J,
+                        int QSTRIDE, int TSTRIDE, int a, int b, int gapo,
+                        int gape, int q2, int noncan, int sc_ambi,
+                        int end_bonus, int mode, int sense, int flank,
+                        int reversed_seq, int32_t* out_ops, int32_t* out_n,
+                        int max_ops, int32_t* out_info) {
+  const int32_t NEGI = -(1 << 28);
+  std::vector<int32_t> don, acc, H, Hp, E, Ai, F, Fp;
+  std::vector<uint8_t> dirs;
+  for (int job = 0; job < J; ++job) {
+    int Q = qlen[job], T = tlen[job];
+    const uint8_t* q = qs + (int64_t)job * QSTRIDE;
+    const uint8_t* t = ts + (int64_t)job * TSTRIDE;
+    int32_t* ops = out_ops + (int64_t)job * max_ops;
+    int32_t* info = out_info + (int64_t)job * 3;
+    out_n[job] = 0;
+    info[0] = info[1] = info[2] = 0;
+    if (Q <= 0 || T <= 0) continue;
+    splice_tables(t, T, sense, flank, noncan, reversed_seq, don, acc);
+    dirs.assign((int64_t)(Q + 1) * (T + 1), 0);
+    H.assign(T + 1, NEGI);
+    E.assign(T + 1, NEGI);
+    Ai.assign(T + 1, NEGI);
+    Fp.assign(T + 1, NEGI);
+    F.assign(T + 1, NEGI);
+    Hp.assign(T + 1, NEGI);
+    H[0] = 0;
+    // row 0: leading deletions / introns only
+    for (int j = 1; j <= T; ++j) {
+      uint8_t d = 0;
+      int32_t e_open = H[j - 1] - gapo;
+      if (E[j - 1] >= e_open) { E[j] = E[j - 1] - gape; d |= SPL_E_CONT; }
+      else E[j] = e_open - gape;
+      int32_t a_open = H[j - 1] - q2 - don[j - 1];
+      if (Ai[j - 1] >= a_open) { Ai[j] = Ai[j - 1]; d |= SPL_A_CONT; }
+      else Ai[j] = a_open;
+      int32_t h = E[j];
+      uint8_t src = 1;
+      int32_t ac = Ai[j] - acc[j - 1];
+      if (ac > h) { h = ac; src = 3; }
+      H[j] = h;
+      dirs[j] = d | src;
+    }
+    int32_t best_sc = 0, best_i = 0, best_j = 0, g_sc = NEGI, g_j = 0;
+    Hp = H;
+    for (int i = 1; i <= Q; ++i) {
+      int qc = q[i - 1];
+      std::fill(E.begin(), E.end(), NEGI);
+      std::fill(Ai.begin(), Ai.end(), NEGI);
+      uint8_t* drow = dirs.data() + (int64_t)i * (T + 1);
+      // F / H column 0
+      {
+        int32_t f_open = Hp[0] - gapo;
+        uint8_t d = 2;
+        if (Fp[0] >= f_open) { F[0] = Fp[0] - gape; d |= SPL_F_CONT; }
+        else F[0] = f_open - gape;
+        H[0] = F[0];
+        drow[0] = d;
+      }
+      for (int j = 1; j <= T; ++j) {
+        int tc = t[j - 1];
+        int32_t pair =
+            (qc == 4 || tc == 4) ? -sc_ambi : (qc == tc ? a : -b);
+        uint8_t d = 0;
+        int32_t e_open = H[j - 1] - gapo;
+        if (E[j - 1] >= e_open) { E[j] = E[j - 1] - gape; d |= SPL_E_CONT; }
+        else E[j] = e_open - gape;
+        int32_t f_open = Hp[j] - gapo;
+        if (Fp[j] >= f_open) { F[j] = Fp[j] - gape; d |= SPL_F_CONT; }
+        else F[j] = f_open - gape;
+        int32_t a_open = H[j - 1] - q2 - don[j - 1];
+        if (Ai[j - 1] >= a_open) { Ai[j] = Ai[j - 1]; d |= SPL_A_CONT; }
+        else Ai[j] = a_open;
+        int32_t h = Hp[j - 1] + pair;
+        uint8_t src = 0;
+        if (E[j] > h) { h = E[j]; src = 1; }
+        if (F[j] > h) { h = F[j]; src = 2; }
+        int32_t ac = Ai[j] - acc[j - 1];
+        if (ac > h) { h = ac; src = 3; }
+        H[j] = h;
+        drow[j] = d | src;
+        if (mode == 1 && h > best_sc) { best_sc = h; best_i = i; best_j = j; }
+      }
+      if (mode == 1 && i == Q) {
+        g_sc = H[0]; g_j = 0;
+        for (int j = 1; j <= T; ++j)
+          if (H[j] > g_sc) { g_sc = H[j]; g_j = j; }
+      }
+      std::swap(Hp, H);
+      std::swap(Fp, F);
+    }
+    // Hp holds the final row
+    int si, sj;
+    int32_t sc;
+    if (mode == 2) {
+      si = Q; sj = T; sc = Hp[T];
+    } else {
+      if (g_sc > NEGI && g_sc > 0 && g_sc + end_bonus >= best_sc) {
+        si = Q; sj = g_j; sc = g_sc;
+      } else if (best_sc > 0) {
+        si = best_i; sj = best_j; sc = best_sc;
+      } else {
+        continue;  // no positive extension
+      }
+    }
+    // traceback (prefix coordinates; ops/splice.py state machine)
+    int n_ops = 0;
+    bool overflow = false;
+    auto emit = [&](int op) {
+      if (n_ops > 0 && (ops[n_ops - 1] & 0xF) == op) ops[n_ops - 1] += 1 << 4;
+      else if (n_ops < max_ops) ops[n_ops++] = (1 << 4) | op;
+      else overflow = true;
+    };
+    int i = si, j = sj, state = 0;
+    while ((i > 0 || j > 0) && !overflow) {
+      uint8_t d = dirs[(int64_t)i * (T + 1) + j];
+      if (state == 0) {
+        int src = d & SPL_SRC_MASK;
+        if (src == 0) { emit(0); --i; --j; }
+        else state = src;
+      } else if (state == 1) {
+        emit(2);
+        bool cont = d & SPL_E_CONT;
+        --j;
+        if (!cont) state = 0;
+      } else if (state == 2) {
+        emit(1);
+        bool cont = d & SPL_F_CONT;
+        --i;
+        if (!cont) state = 0;
+      } else {
+        emit(3);
+        bool cont = d & SPL_A_CONT;
+        --j;
+        if (!cont) state = 0;
+      }
+    }
+    for (int x = 0, y = n_ops - 1; x < y; ++x, --y) std::swap(ops[x], ops[y]);
+    out_n[job] = overflow ? -1 : n_ops;
+    info[0] = sc;
+    info[1] = si;
+    info[2] = sj;
+  }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------
 // Banded dual-affine band fill: scalar reference + AVX-512 fast path.
 // Both produce byte-identical `dir` rows and identical tracker values
 // for every observable (real) cell; the SIMD path is selected per job
@@ -959,6 +1161,15 @@ int64_t gen_cs_native(const int32_t* ops, int n_ops, const uint8_t* q,
       put('+');
       for (int x = 0; x < n; ++x) put(LOWER[q[qi + x] > 4 ? 4 : q[qi + x]]);
       qi += n;
+    } else if (op == 3) {
+      // intron: ~, donor dinucleotide, length, acceptor dinucleotide
+      put('~');
+      put(n >= 1 ? LOWER[t[ti] > 4 ? 4 : t[ti]] : 'n');
+      put(n >= 2 ? LOWER[t[ti + 1] > 4 ? 4 : t[ti + 1]] : 'n');
+      put_num(n);
+      put(n >= 2 ? LOWER[t[ti + n - 2] > 4 ? 4 : t[ti + n - 2]] : 'n');
+      put(n >= 1 ? LOWER[t[ti + n - 1] > 4 ? 4 : t[ti + n - 1]] : 'n');
+      ti += n;
     } else {
       put('-');
       for (int x = 0; x < n; ++x) put(LOWER[t[ti + x] > 4 ? 4 : t[ti + x]]);
@@ -1000,6 +1211,8 @@ int64_t gen_md_native(const int32_t* ops, int n_ops, const uint8_t* q,
       ti += n;
     } else if (op == 1) {
       qi += n;
+    } else if (op == 3) {
+      ti += n;  // introns are invisible to MD (match run continues)
     } else {
       put_num(run);
       run = 0;
@@ -1019,6 +1232,10 @@ void cigar_stats(const int32_t* ops, int n_ops, const uint8_t* q,
   for (int k = 0; k < n_ops; ++k) {
     int op = ops[k] & 0xF;
     int n = ops[k] >> 4;
+    if (op == 3) {  // intron: consumes ref, excluded from blen/NM
+      ti += n;
+      continue;
+    }
     blen += n;
     if (op == 0) {
       for (int x = 0; x < n; ++x) {

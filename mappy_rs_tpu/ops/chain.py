@@ -49,6 +49,26 @@ class ChainParams(NamedTuple):
     q_span: int
     chn_pen_gap: float
     chn_pen_skip: float
+    # comput_sc's is_cdna branch (MM_F_SPLICE): a reference gap larger
+    # than the query gap is a candidate intron and costs only
+    # min(lin_pen, log_pen) — logarithmic for long introns — instead of
+    # lin_pen + 0.5*log_pen.
+    is_splice: int = 0
+
+
+def _gap_pen(dr, dq, dd, dg, p: "ChainParams"):
+    """comput_sc's gap penalty (int-truncated), incl. the is_cdna
+    (splice) branch for reference-gap (possible intron) pairs."""
+    lin_pen = p.chn_pen_gap * dd.astype(jnp.float32) + (
+        p.chn_pen_skip * dg.astype(jnp.float32)
+    )
+    log_pen = jnp.where(dd >= 1, mg_log2((dd + 1).astype(jnp.float32)), 0.0)
+    pen = (lin_pen + 0.5 * log_pen).astype(_I32)
+    # is_splice may be a traced leaf (ChainParams is not always a
+    # static argument), so branch with `where`, not python `if`
+    splice_pen = jnp.minimum(lin_pen, log_pen).astype(_I32)
+    take_splice = (jnp.asarray(p.is_splice) != 0) & (dr > dq)
+    return jnp.where(take_splice, splice_pen, pen)
 
 
 def _pair_scores(ai, aj, p: ChainParams):
@@ -72,11 +92,7 @@ def _pair_scores(ai, aj, p: ChainParams):
     span_j = aj.get("span")
     q_span = p.q_span if span_j is None else span_j
     sc = jnp.minimum(dg, q_span)
-    lin_pen = p.chn_pen_gap * dd.astype(jnp.float32) + p.chn_pen_skip * dg.astype(
-        jnp.float32
-    )
-    log_pen = jnp.where(dd >= 1, mg_log2((dd + 1).astype(jnp.float32)), 0.0)
-    pen = (lin_pen + 0.5 * log_pen).astype(_I32)  # C truncation semantics
+    pen = _gap_pen(dr, dq, dd, dg, p)  # C truncation semantics
     sc = jnp.where((dd != 0) | (dg > q_span), sc - pen, sc)
     return jnp.where(ok, sc, NEG_INF)
 
@@ -166,11 +182,7 @@ def _pair_scores_grid(cur, win, p: ChainParams):
     span_j = win.get("span")
     q_span = p.q_span if span_j is None else span_j
     sc = jnp.minimum(dg, q_span)
-    lin_pen = p.chn_pen_gap * dd.astype(jnp.float32) + p.chn_pen_skip * dg.astype(
-        jnp.float32
-    )
-    log_pen = jnp.where(dd >= 1, mg_log2((dd + 1).astype(jnp.float32)), 0.0)
-    pen = (lin_pen + 0.5 * log_pen).astype(_I32)
+    pen = _gap_pen(dr, dq, dd, dg, p)
     sc = jnp.where((dd != 0) | (dg > q_span), sc - pen, sc)
     return jnp.where(ok, sc, NEG_INF)
 

@@ -121,6 +121,12 @@ def _make_kernel(B: int, params: ChainParams, R: int = 1):
                 dd >= 1, _mg_log2_f32((dd + 1).astype(jnp.float32)), 0.0
             )
             pen = (lin_pen + 0.5 * log_pen).astype(_I32)
+            if p.is_splice:  # params are static here: python branch
+                pen = jnp.where(
+                    dr > dq,  # candidate intron: log-cost ref gap
+                    jnp.minimum(lin_pen, log_pen).astype(_I32),
+                    pen,
+                )
             sc = jnp.where((dd != 0) | (dg > w_span), sc - pen, sc)
             sc = jnp.where(ok, sc, NEG_INF)
 

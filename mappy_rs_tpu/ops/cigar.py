@@ -9,7 +9,10 @@ mm_gen_cs/mm_gen_MD).  A C++ fast path (native/) replaces these inner
 loops when built; this numpy/python version is the always-available
 fallback and the correctness oracle.
 
-CIGAR op codes follow BAM: 0=M 1=I 2=D (I consumes query, D ref).
+CIGAR op codes follow BAM: 0=M 1=I 2=D 3=N (I consumes query; D and N
+consume reference; N marks introns from the splice engines and is
+excluded from blen/NM, rendered as ``~`` runs in cs and skipped in MD,
+matching minimap2's spliced-output conventions).
 """
 from __future__ import annotations
 
@@ -117,7 +120,7 @@ def unpack_ops(arr) -> List[Tuple[int, int]]:
 def cigar_spans(cig: List[Tuple[int, int]]) -> Tuple[int, int]:
     """(query_span, ref_span) consumed by the CIGAR."""
     q = sum(n for n, op in cig if op in (0, 1))
-    t = sum(n for n, op in cig if op in (0, 2))
+    t = sum(n for n, op in cig if op in (0, 2, 3))
     return q, t
 
 
@@ -128,11 +131,15 @@ def cigar_stats(
 
     mlen counts exact base matches (minimap2's mlen); blen = M+I+D;
     NM = mismatches + inserted + deleted bases (ambiguous bases are not
-    counted as matches).
+    counted as matches).  N (intron) ops consume reference but count
+    toward neither blen nor NM, as in minimap2's spliced output.
     """
     qi = ti = 0
     mlen = blen = nm = 0
     for n, op in cig:
+        if op == 3:
+            ti += n
+            continue
         blen += n
         if op == 0:
             qs = qcodes[qi : qi + n]
@@ -177,6 +184,14 @@ def gen_cs(
             seg = "".join(BASES[int(c)].lower() for c in qcodes[qi : qi + n])
             out.append(f"+{seg}")
             qi += n
+        elif op == 3:
+            # intron: ~, donor dinucleotide, length, acceptor dinucleotide
+            d0 = BASES[int(tcodes[ti])].lower() if n >= 1 else "n"
+            d1 = BASES[int(tcodes[ti + 1])].lower() if n >= 2 else "n"
+            a0 = BASES[int(tcodes[ti + n - 2])].lower() if n >= 2 else "n"
+            a1 = BASES[int(tcodes[ti + n - 1])].lower() if n >= 1 else "n"
+            out.append(f"~{d0}{d1}{n}{a0}{a1}")
+            ti += n
         else:
             seg = "".join(BASES[int(c)].lower() for c in tcodes[ti : ti + n])
             out.append(f"-{seg}")
@@ -205,6 +220,8 @@ def gen_md(
             ti += n
         elif op == 1:
             qi += n
+        elif op == 3:
+            ti += n  # introns are invisible to MD (match run continues)
         else:
             out.append(str(run))
             run = 0

@@ -52,6 +52,9 @@ class Region:
     mapq: int = 0
     cs: Optional[str] = None
     md: Optional[str] = None
+    # splice mode: transcript sense that won the two-round alignment
+    # (+1 = GT..AG on ref forward, -1 = CT..AC, 0 = no intron found)
+    trans_strand: int = 0
 
 
 def backtrack_chains(

@@ -36,6 +36,10 @@ def test_preset_end_to_end(ref, preset):
     assert m.strand == 1 and m.NM == 0
 
 
-def test_splice_refuses(ref):
-    with pytest.raises(NotImplementedError):
-        mappy_rs_tpu.Aligner(ref[0], preset="splice")
+def test_splice_preset_constructs(ref):
+    # splice presets are supported since round 2 (tests/test_splice.py
+    # covers spliced mapping end-to-end); unknown presets still refuse
+    al = mappy_rs_tpu.Aligner(ref[0], preset="splice")
+    assert al.k == 15 and al.w == 5
+    with pytest.raises(ValueError):
+        mappy_rs_tpu.Aligner(ref[0], preset="no-such-preset")
