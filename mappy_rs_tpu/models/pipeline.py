@@ -528,12 +528,14 @@ class AlignmentEngine:
     ) -> None:
         """Resolve zdrop splits: regions whose mid alignment truncated
         re-enter extension as (head, remainder) pairs until no segment
-        zdrops (bounded rounds)."""
+        zdrops (bounded rounds); then attempt inversion rescue across
+        each split's gap (mm_align1_inv)."""
         for _ in range(self.MAX_SPLITS + 1):
             extra = self._split_zdropped(read_regions, codes)
             if not extra:
-                return
+                break
             self._run_jobs(extra)
+        self._inversion_rescue(read_regions, codes)
 
     def _split_zdropped(
         self,
@@ -611,6 +613,7 @@ class AlignmentEngine:
                 rB._mid_zdrop = {}  # type: ignore[attr-defined]
                 rB._n_splits = n_splits + 1  # type: ignore[attr-defined]
                 rB._right = orig_right  # type: ignore[attr-defined]
+                rB._inv_prev = r  # type: ignore[attr-defined]
                 roff = int(offs[r.rid])
                 q_al = rB._q_al  # type: ignore[attr-defined]
                 for sj, (sq0, sq1, st0, st1) in enumerate(rB._segs):  # type: ignore[attr-defined]
@@ -643,6 +646,121 @@ class AlignmentEngine:
                 add.append(rB)
             regions.extend(add)
         return new_jobs
+
+    def _inversion_rescue(
+        self,
+        read_regions: List[Tuple[int, List[Region], int]],
+        codes: List[np.ndarray],
+    ) -> None:
+        """mm_align1_inv semantics: for each zdrop-split (head,
+        remainder) pair with a gap on BOTH the query and the target,
+        align the reverse complement of the query gap against the
+        target gap (extension DP, zdrop_inv) under both anchorings —
+        gap-left against target-left, and both reversed — and, when
+        the better one clears min_dp_max, emit a new region on the
+        OPPOSITE strand covering the inverted segment.  This is the
+        small-inversion behavior behind every reference ``.map()``
+        (ksw path of /root/reference/src/lib.rs:482); only the host
+        extension path produces zdrop splits, so rescue runs there."""
+        from .. import native
+
+        if self.is_splice or not native.available():
+            return
+        ref = self.index.ref_codes
+        offs = self.index.seq_offsets
+
+        def parts_ok(x) -> bool:
+            return hasattr(x, "_mid_parts") and all(
+                p is not None and len(p[0]) for p in x._mid_parts
+            )
+
+        cand = []
+        for ri, regions, _rl in read_regions:
+            qlen = len(codes[ri])
+            for rB in regions:
+                r = getattr(rB, "_inv_prev", None)
+                if r is None or not (parts_ok(r) and parts_ok(rB)):
+                    continue
+                lq = lt = 0
+                left = getattr(rB, "_left", None)
+                if left is not None:
+                    _, _, lq, lt = left
+                qg0, qg1 = r._qe_a, rB._qs_a - lq  # type: ignore[attr-defined]
+                tg0, tg1 = r.re, rB.rs - lt
+                QG, TG = qg1 - qg0, tg1 - tg0
+                if QG < 16 or TG < 16:
+                    continue
+                if QG > self.opt.max_gap or TG > self.opt.max_gap:
+                    continue
+                q_inv = _revcomp(np.asarray(r._q_al[qg0:qg1]))  # type: ignore[attr-defined]
+                roff = int(offs[r.rid])
+                tgap = np.asarray(ref[roff + tg0 : roff + tg1])
+                cand.append(
+                    (regions, r, qg0, qg1, tg0, tg1, q_inv, tgap, qlen)
+                )
+        if not cand:
+            return
+        with self.metrics.timer("extend"):
+            J = 2 * len(cand)
+            QS = max(len(c[6]) for c in cand)
+            TS = max(len(c[7]) for c in cand)
+            qb = np.full((J, QS), 4, np.uint8)
+            tb = np.full((J, TS), 4, np.uint8)
+            ql = np.zeros(J, np.int32)
+            tl = np.zeros(J, np.int32)
+            for ci, c in enumerate(cand):
+                q_inv, tgap = c[6], c[7]
+                qb[2 * ci, : len(q_inv)] = q_inv
+                qb[2 * ci + 1, : len(q_inv)] = q_inv[::-1]
+                tb[2 * ci, : len(tgap)] = tgap
+                tb[2 * ci + 1, : len(tgap)] = tgap[::-1]
+                ql[2 * ci] = ql[2 * ci + 1] = len(q_inv)
+                tl[2 * ci] = tl[2 * ci + 1] = len(tgap)
+            res = native.extend_banded_batch(
+                qb, tb, ql, tl, self.flank_band, self._ext_params,
+                self.opt.end_bonus, 1, zdrop=self.opt.zdrop_inv,
+            )
+            self.metrics.add("dp_cells", float(J) * (QS + TS - 1) * self.flank_band)
+        if res is None:
+            return
+        for ci, (regions, r, qg0, qg1, tg0, tg1, _qi, _tg, qlen) in enumerate(
+            cand
+        ):
+            ra, rb_ = res[2 * ci], res[2 * ci + 1]
+            use_b = rb_[1] > ra[1]
+            ops, sc, qc, tc, _z = rb_ if use_b else ra
+            if sc < self.opt.min_dp_max or qc < 16 or tc < 16:
+                continue
+            rev_i = 1 - r.rev
+            if use_b:
+                qs_a, qe_a = qlen - qg0 - qc, qlen - qg0
+                rs_i, re_i = tg1 - tc, tg1
+                ops = np.ascontiguousarray(ops[::-1])  # reversed DP frame
+            else:
+                qs_a, qe_a = qlen - qg1, qlen - qg1 + qc
+                rs_i, re_i = tg0, tg0 + tc
+            inv = Region(
+                rev=rev_i,
+                rid=r.rid,
+                qs=qs_a if rev_i == 0 else qlen - qe_a,
+                qe=qe_a if rev_i == 0 else qlen - qs_a,
+                rs=rs_i,
+                re=re_i,
+                score=max(1, sc // max(self.opt.a, 1)),
+                cnt=2,
+                anchors_qpos=np.asarray([qs_a, qe_a - 1], np.int32),
+                anchors_rpos=np.asarray([rs_i, re_i - 1], np.int32),
+            )
+            inv._q_al = _revcomp(np.asarray(r._q_al))  # type: ignore[attr-defined]
+            inv._qs_a, inv._qe_a = qs_a, qe_a  # type: ignore[attr-defined]
+            inv._segs = [(qs_a, qe_a, rs_i, re_i)]  # type: ignore[attr-defined]
+            inv._n_mid = 1  # type: ignore[attr-defined]
+            inv._mid_parts = [(ops, sc)]  # type: ignore[attr-defined]
+            inv._mid_zdrop = {}  # type: ignore[attr-defined]
+            inv._left = (_EMPTY_OPS, 0, 0, 0)  # type: ignore[attr-defined]
+            inv._right = (_EMPTY_OPS, 0, 0, 0)  # type: ignore[attr-defined]
+            regions.append(inv)
+            self.metrics.add("inv_rescues", 1)
 
     def _finish_reads(
         self,
