@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import enum
 import os
+import sys
 import threading
 from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
 
@@ -256,6 +257,7 @@ class Aligner:
         self._engine = AlignmentEngine(index, map_opt, self._config)
         self._engine_lock = threading.Lock()
         self._pool: Optional[WorkerPool] = None
+        self._procs = None
         self.n_threads = 0
 
     @property
@@ -263,8 +265,19 @@ class Aligner:
         """Engine observability counters (reads/sec, DP cell-updates/sec,
         per-stage wall times).  No reference analogue — SURVEY.md §5
         lists first-class profiling as a required replacement for the
-        reference's eprintln-only story."""
-        return self._engine.metrics.snapshot()
+        reference's eprintln-only story.  In multi-process mode the
+        children's counters are summed into the parent's snapshot."""
+        snap = self._engine.metrics.snapshot()
+        if self._procs is not None:
+            for child in self._procs.metrics():
+                for k, v in child.items():
+                    if isinstance(v, (int, float)):
+                        snap[k] = snap.get(k, 0) + v
+            cells = snap.get("dp_cells", 0.0)
+            t_ext = snap.get("time_extend_s", 0.0)
+            if cells and t_ext:
+                snap["dp_cells_per_sec"] = cells / t_ext
+        return snap
 
     # --- introspection (lib.rs:438-459, 650-670) -----------------------
     def __bool__(self) -> bool:
@@ -343,21 +356,74 @@ class Aligner:
 
     # --- threaded streaming path (lib.rs:535-648, 768-906) -------------
     def enable_threading(self, n_threads: int) -> None:
-        """Spin up the persistent worker pool."""
+        """Spin up the persistent worker pool.
+
+        With ``config.worker_processes > 0`` (or MAPPY_RS_TPU_PROCS),
+        the pool's workers become proxies to that many child mapping
+        processes (runtime/procpool.py) — same queueing contract, but
+        the per-read Python glue and the device clients scale past the
+        GIL.  Falls back to in-process threads if the children fail to
+        start."""
         self.n_threads = n_threads
         if self._pool is not None:
             self._pool.shutdown()
             self._pool = None
-        if n_threads > 0:
-            self._pool = WorkerPool(
-                n_threads,
-                self._threaded_map,
-                # one device chunk per drain: measured better than 2x
-                # (intra-call prefetch makes the host stages bursty;
-                # cross-worker overlap already keeps the chip fed —
-                # tpu_trials/ab_prefetch.py: ~4000 vs ~3400 reads/s)
-                batch_size=self._config.device_batch_size,
-            )
+        if self._procs is not None:
+            self._procs.shutdown()
+            self._procs = None
+        if n_threads <= 0:
+            return
+        n_procs = self._config.worker_processes
+        if n_procs > 0:
+            from .runtime.procpool import ProcMapper, resolved_platforms
+
+            try:
+                procs = ProcMapper(
+                    n_procs,
+                    self._index,
+                    self._map_opt,
+                    self._config,
+                    platforms=resolved_platforms(),
+                )
+                if not procs.wait_ready():
+                    procs.shutdown()
+                    procs = None
+            except Exception as exc:  # noqa: BLE001 — degrade, don't die
+                print(
+                    f"mappy_rs_tpu: worker processes unavailable ({exc}); "
+                    f"falling back to threads",
+                    file=sys.stderr,
+                )
+                procs = None
+            if procs is not None:
+                self._procs = procs
+                self._pool = WorkerPool(
+                    n_threads,
+                    [procs.map_fn(i) for i in range(n_threads)],
+                    batch_size=self._config.proc_chunk,
+                )
+                return
+        self._pool = WorkerPool(
+            n_threads,
+            self._threaded_map,
+            # one device chunk per drain: measured better than 2x
+            # (intra-call prefetch makes the host stages bursty;
+            # cross-worker overlap already keeps the chip fed —
+            # tpu_trials/ab_prefetch.py: ~4000 vs ~3400 reads/s)
+            batch_size=self._config.device_batch_size,
+        )
+
+    def warmup(self, seqs: List[str]) -> None:
+        """Pay one-time costs (device index upload, compilation) up
+        front by mapping a representative chunk — in multi-process mode
+        broadcast to every worker process (the streaming queue alone
+        would let one warm child absorb the whole chunk while the rest
+        stay cold).  Optional: the first real batch triggers the same
+        work lazily."""
+        if self._procs is not None:
+            self._procs.warmup(list(seqs))
+        else:
+            self._engine.map_batch(list(seqs), cs=True, md=False)
 
     def _threaded_map(self, seqs: List[str]) -> List[List[Mapping]]:
         # threaded path hard-codes cs=True, MD=False (lib.rs:587-592).
@@ -562,30 +628,41 @@ class Aligner:
 
     # --- conversion -----------------------------------------------------
     def _to_mappings(self, regions: List[Region]) -> List[Mapping]:
-        out = []
         no_2nd = bool(self._map_opt.flag & MM_F_NO_PRINT_2ND)
-        for r in regions:
-            primary = r.parent == r.id
-            if no_2nd and not primary:
-                continue
-            out.append(
-                Mapping(
-                    query_start=r.qs,
-                    query_end=r.qe,
-                    strand=Strand.Forward if r.rev == 0 else Strand.Reverse,
-                    target_name=self._index.seq_names[r.rid],
-                    target_len=int(self._index.seq_lens[r.rid]),
-                    target_start=r.rs,
-                    target_end=r.re,
-                    match_len=r.mlen,
-                    block_len=r.blen,
-                    mapq=r.mapq,
-                    is_primary=primary,
-                    cigar=list(r.cigar or []),
-                    NM=r.nm,
-                    MD=r.md,
-                    cs=r.cs,
-                    trans_strand=getattr(r, "trans_strand", 0),
-                )
+        return regions_to_mappings(
+            regions, self._index.seq_names, self._index.seq_lens, no_2nd
+        )
+
+
+def regions_to_mappings(
+    regions: List[Region], seq_names, seq_lens, no_2nd: bool
+) -> List[Mapping]:
+    """Region -> Mapping conversion (module-level so multi-process
+    worker children can produce finished Mapping objects without an
+    Aligner instance)."""
+    out = []
+    for r in regions:
+        primary = r.parent == r.id
+        if no_2nd and not primary:
+            continue
+        out.append(
+            Mapping(
+                query_start=r.qs,
+                query_end=r.qe,
+                strand=Strand.Forward if r.rev == 0 else Strand.Reverse,
+                target_name=seq_names[r.rid],
+                target_len=int(seq_lens[r.rid]),
+                target_start=r.rs,
+                target_end=r.re,
+                match_len=r.mlen,
+                block_len=r.blen,
+                mapq=r.mapq,
+                is_primary=primary,
+                cigar=list(r.cigar or []),
+                NM=r.nm,
+                MD=r.md,
+                cs=r.cs,
+                trans_strand=getattr(r, "trans_strand", 0),
             )
-        return out
+        )
+    return out

@@ -309,6 +309,26 @@ class AlignerConfig:
     # CPU chaining predecessor cap (minimap2 max_chain_iter); the
     # device kernel's window is the lane-aligned 128
     cpu_chain_max_iter: int = 5000
+    # multi-process execution (runtime/procpool.py): spawn N child
+    # processes, each running the full pipeline with its own GIL and
+    # its own TPU client; enable_threading's workers become proxies.
+    # The per-read Python glue is GIL-serialized in one process and
+    # caps thread scaling — processes scale it with the host cores.
+    # 0 = off (classic in-process threads).  Overridable with
+    # MAPPY_RS_TPU_PROCS.
+    worker_processes: int = field(
+        default_factory=lambda: int(
+            os.environ.get("MAPPY_RS_TPU_PROCS", "0")
+        )
+    )
+    # reads drained per proxy dispatch in multi-process mode: 2x the
+    # device batch so each child's internal software pipeline overlaps
+    # its own device and host stages
+    proc_chunk: int = 512
+    # pad every device batch to the one full [B, L] shape instead of
+    # compiling a second tiny [8, L] graph (set in proc children where
+    # trailing chunks are frequent and compiles are per-process)
+    single_batch_shape: bool = False
 
     def replace(self, **kw) -> "AlignerConfig":
         return dataclasses.replace(self, **kw)

@@ -363,7 +363,7 @@ class AlignmentEngine:
         full_B = max(8, _pow2_at_least(
             max(self.cfg.device_batch_size * 1024 // L, 8)) // 1)
         full_B = min(full_B, self.cfg.device_batch_size)
-        B = 8 if B_real <= 8 else full_B
+        B = 8 if (B_real <= 8 and not self.cfg.single_batch_shape) else full_B
         if self.mesh is not None:  # shard_map needs B % n_data == 0
             nd = self.mesh.shape["data"]
             B = ((B + nd - 1) // nd) * nd

@@ -82,17 +82,35 @@ class WorkerPool:
     def __init__(self, n_threads: int, map_fn, batch_size: int = 256):
         """map_fn(list[str]) -> list[list[Mapping]] (threaded path maps
         with cs=True, MD=False, as the reference hard-codes,
-        lib.rs:587-592)."""
+        lib.rs:587-592).
+
+        ``map_fn``/``batch_size`` may also be per-worker lists of
+        length ``n_threads`` — the multi-process runtime gives each
+        worker thread a proxy to its own child process."""
         self.n_threads = n_threads
-        self.map_fn = map_fn
-        self.batch_size = batch_size
+        if not isinstance(map_fn, (list, tuple)):
+            map_fn = [map_fn] * n_threads
+        if not isinstance(batch_size, (list, tuple)):
+            batch_size = [batch_size] * n_threads
+        self.map_fns = list(map_fn)
+        self.batch_sizes = list(batch_size)
+        self.map_fn = self.map_fns[0]  # back-compat alias
+        self.batch_size = self.batch_sizes[0]
         self.work: "queue.Queue" = queue.Queue(maxsize=WORK_QUEUE_CAP)
         self.results: "queue.Queue" = queue.Queue(maxsize=RESULTS_QUEUE_CAP)
         self.stop = threading.Event()
-        self._barrier = threading.Barrier(n_threads)
+        # epoch barrier state (the reference's dones vec + spin,
+        # lib.rs:556-575): a Condition instead of threading.Barrier —
+        # Barrier.wait(timeout) BREAKS the barrier when one worker's
+        # map legitimately runs long (first-compile in a fresh child
+        # process), double-counting Done pills; the reference spins
+        # without any timeout.  This wait is unbounded but stop-aware.
+        self._epoch_cv = threading.Condition()
+        self._epoch_count = 0
+        self._epoch_gen = 0
         self._threads = [
-            threading.Thread(target=self._worker_loop, daemon=True)
-            for _ in range(n_threads)
+            threading.Thread(target=self._worker_loop, args=(i,), daemon=True)
+            for i in range(n_threads)
         ]
         for t in self._threads:
             t.start()
@@ -146,7 +164,9 @@ class WorkerPool:
             self.work.put((sink, None, None))
 
     # -- worker side ----------------------------------------------------
-    def _worker_loop(self) -> None:
+    def _worker_loop(self, wi: int = 0) -> None:
+        map_fn = self.map_fns[wi]
+        batch_size = self.batch_sizes[wi]
         while not self.stop.is_set():
             try:
                 first = self.work.get(timeout=0.05)
@@ -157,13 +177,10 @@ class WorkerPool:
                 self._put_results_q(sink, _DONE)
                 # epoch barrier: wait until every worker saw this batch's
                 # Done so the next batch cannot mix (lib.rs:556-575)
-                try:
-                    self._barrier.wait(timeout=120.0)
-                except threading.BrokenBarrierError:
-                    self._barrier.reset()
+                self._epoch_wait()
                 continue
             items: List[Tuple[int, str]] = [(first[1], first[2])]
-            while len(items) < self.batch_size:
+            while len(items) < batch_size:
                 try:
                     nxt = self.work.get_nowait()
                 except queue.Empty:
@@ -176,7 +193,7 @@ class WorkerPool:
             if sink.closed:
                 continue  # iterator dropped: discard silently
             try:
-                results = self.map_fn([seq for _, seq in items])
+                results = map_fn([seq for _, seq in items])
             except Exception as exc:  # noqa: BLE001 — match lib.rs:621-623
                 print(
                     f"Failed to map sequence in threaded implementation. {exc}",
@@ -186,6 +203,21 @@ class WorkerPool:
             for (id_num, _), mappings in zip(items, results):
                 if not self._put_results_q(sink, (mappings, id_num)):
                     break
+
+    def _epoch_wait(self) -> None:
+        """All-workers-saw-Done rendezvous (lib.rs:556-575 semantics:
+        spin until every thread marked done, no timeout; here a
+        Condition so shutdown can interrupt the wait)."""
+        with self._epoch_cv:
+            gen = self._epoch_gen
+            self._epoch_count += 1
+            if self._epoch_count == self.n_threads:
+                self._epoch_count = 0
+                self._epoch_gen += 1
+                self._epoch_cv.notify_all()
+                return
+            while self._epoch_gen == gen and not self.stop.is_set():
+                self._epoch_cv.wait(timeout=0.5)
 
     def _put_results_q(self, sink: AlignmentBatchResultIter, item) -> bool:
         """Worker -> results queue (cap 50,000), dropping when the

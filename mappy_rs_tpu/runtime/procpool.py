@@ -1,0 +1,238 @@
+"""Multi-process mapping workers: one full pipeline per child process.
+
+Why processes: the threaded pool (runtime/batch.py) hides device and
+C++ latency, but the per-read host glue (regions, job build, finalize
+bookkeeping) is Python and therefore GIL-serialized — measured at
+~0.17 ms/read, it caps ANY number of threads near ~5k reads/s.  A
+child process has its own GIL *and its own TPU client* (the axon PJRT
+plugin accepts concurrent clients; verified 2026-08-18), so N children
+scale the host glue, the device dispatch and the link concurrency
+together.
+
+Topology: the parent's WorkerPool threads become thin proxies — each
+drains reads from the shared bounded work queue (contract unchanged:
+capacities, back-off, Done pills) and round-trips one chunk to its
+child over a pipe.  Children run the unmodified AlignmentEngine, so a
+read's result is bit-identical to the single-process device path no
+matter which child maps it.
+
+The reference's analogue is threads sharing one C index
+(/root/reference/src/lib.rs:545); the cross-process index share is
+index/share.py (mmap'd pages, one physical copy).
+"""
+from __future__ import annotations
+
+import atexit
+import multiprocessing as mp
+import os
+import shutil
+import sys
+import tempfile
+import threading
+from typing import Callable, List, Optional
+
+
+def _child_main(
+    conn, idx_dir: str, map_opt, cfg, platforms: str, cache_dir: str
+) -> None:
+    """Entry point of a spawned worker process."""
+    try:
+        import jax
+
+        if platforms:
+            jax.config.update("jax_platforms", platforms)
+        if cache_dir:
+            try:
+                # jax config does not cross the spawn boundary: without
+                # the parent's persistent compile cache every child pays
+                # full remote compiles on its first chunk (measured:
+                # 185s vs 0.74s for 4k reads)
+                jax.config.update("jax_compilation_cache_dir", cache_dir)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 1.0
+                )
+            except Exception:  # noqa: BLE001 — cache is an optimization
+                pass
+        from ..api import regions_to_mappings
+        from ..config import MM_F_NO_PRINT_2ND
+        from ..index.share import load_index_dir
+        from ..models.pipeline import AlignmentEngine
+
+        index = load_index_dir(idx_dir)
+        eng = AlignmentEngine(index, map_opt, cfg)
+        no_2nd = bool(map_opt.flag & MM_F_NO_PRINT_2ND)
+        seq_names = index.seq_names
+        seq_lens = index.seq_lens
+        conn.send(("ready", os.getpid()))
+        while True:
+            msg = conn.recv()
+            if msg is None:
+                conn.send(("bye", eng.metrics.snapshot()))
+                return
+            kind = msg[0]
+            if kind == "metrics":
+                conn.send(("metrics", eng.metrics.snapshot()))
+                continue
+            _, seqs, cs, md = msg
+            try:
+                keys = list(dict.fromkeys(seqs))
+                regs = eng.map_batch(keys, cs=cs, md=md)
+                table = {
+                    s: regions_to_mappings(r, seq_names, seq_lens, no_2nd)
+                    for s, r in zip(keys, regs)
+                }
+                conn.send(("ok", [table[s] for s in seqs]))
+            except Exception as exc:  # noqa: BLE001 — surface to parent
+                conn.send(("error", repr(exc)))
+    except (EOFError, KeyboardInterrupt):
+        pass
+    except Exception as exc:  # noqa: BLE001 — init failure: tell parent
+        try:
+            conn.send(("error", repr(exc)))
+        except Exception:  # noqa: BLE001
+            pass
+
+
+class ProcMapper:
+    """Owns N child mapping processes and hands out per-proxy map_fns."""
+
+    def __init__(
+        self,
+        n_procs: int,
+        index,
+        map_opt,
+        cfg,
+        platforms: str = "",
+    ) -> None:
+        from ..index.share import save_index_dir
+
+        ctx = mp.get_context("spawn")
+        self._tmp = tempfile.mkdtemp(prefix="mappy_rs_tpu_idx_")
+        save_index_dir(index, self._tmp)
+        # children: no nested process pools; one compiled batch shape
+        # (tiny trailing chunks pad to the full B instead of compiling
+        # a second [8, L] graph per child)
+        child_cfg = cfg.replace(
+            worker_processes=0, single_batch_shape=True
+        )
+        self.n_procs = n_procs
+        self._conns = []
+        self._procs = []
+        self._locks: List[threading.Lock] = []
+        self._closed = False
+        try:
+            import jax
+
+            cache_dir = jax.config.jax_compilation_cache_dir or ""
+        except Exception:  # noqa: BLE001
+            cache_dir = ""
+        for _ in range(n_procs):
+            parent_c, child_c = ctx.Pipe()
+            p = ctx.Process(
+                target=_child_main,
+                args=(
+                    child_c, self._tmp, map_opt, child_cfg, platforms,
+                    cache_dir,
+                ),
+                daemon=True,
+            )
+            p.start()
+            child_c.close()
+            self._conns.append(parent_c)
+            self._procs.append(p)
+            self._locks.append(threading.Lock())
+        atexit.register(self.shutdown)
+
+    def wait_ready(self, timeout: float = 300.0) -> bool:
+        """Block until every child finished engine construction (no
+        device work yet — the index uploads lazily on first map)."""
+        for conn in self._conns:
+            if not conn.poll(timeout):
+                return False
+            kind, _ = conn.recv()
+            if kind != "ready":
+                return False
+        return True
+
+    def map_fn(self, i: int) -> Callable:
+        """A WorkerPool map_fn that round-trips chunks to child i."""
+        conn = self._conns[i % self.n_procs]
+        lock = self._locks[i % self.n_procs]
+
+        def fn(seqs, cs: bool = True, md: bool = False):
+            with lock:
+                conn.send(("map", seqs, cs, md))
+                kind, payload = conn.recv()
+            if kind != "ok":
+                raise RuntimeError(f"worker process failed: {payload}")
+            return payload
+
+        return fn
+
+    def warmup(self, seqs: List[str]) -> None:
+        """Broadcast one mapping chunk to EVERY child concurrently so
+        each pays its one-time costs (device index upload, compile-
+        cache load) up front.  The shared work queue alone cannot
+        guarantee this: one fast child can drain the whole warm batch
+        while the others stay cold."""
+        threads = []
+        for i in range(self.n_procs):
+            fn = self.map_fn(i)
+            t = threading.Thread(target=lambda f=fn: f(seqs), daemon=True)
+            t.start()
+            threads.append(t)
+        for t in threads:
+            t.join()
+
+    def metrics(self) -> List[dict]:
+        out = []
+        for conn, lock in zip(self._conns, self._locks):
+            try:
+                with lock:
+                    conn.send(("metrics",))
+                    kind, snap = conn.recv()
+                if kind == "metrics":
+                    out.append(snap)
+            except Exception:  # noqa: BLE001 — child gone
+                continue
+        return out
+
+    def shutdown(self) -> None:
+        if self._closed:
+            return
+        self._closed = True
+        for conn, lock, p in zip(self._conns, self._locks, self._procs):
+            # a proxy may be mid-recv holding the lock (long child map);
+            # don't block shutdown on it — just terminate the child
+            got_lock = lock.acquire(timeout=2.0)
+            try:
+                if got_lock:
+                    try:
+                        conn.send(None)
+                        if conn.poll(5.0):
+                            conn.recv()
+                        conn.close()
+                    except Exception:  # noqa: BLE001
+                        pass
+            finally:
+                if got_lock:
+                    lock.release()
+            p.join(timeout=5.0)
+            if p.is_alive():
+                p.terminate()
+        shutil.rmtree(self._tmp, ignore_errors=True)
+
+
+def resolved_platforms() -> str:
+    """The platform string children must run under, WITHOUT initializing
+    the parent's jax backend (a CPU-only parent must not be forced to
+    create the axon client just to spawn CPU children).  Tests pin the
+    platform via jax.config (conftest); production inherits the
+    environment default through the child's own env."""
+    try:
+        import jax
+
+        val = jax.config.jax_platforms
+        return val or ""
+    except Exception:  # noqa: BLE001
+        return os.environ.get("JAX_PLATFORMS", "") or ""
