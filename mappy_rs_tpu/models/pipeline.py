@@ -446,6 +446,15 @@ class AlignmentEngine:
                         pallas_window=self.cfg.pallas_chain_window,
                         occ_dist=od, max_max_occ=mmo,
                     )
+                    # start the device->host DMA now, overlapped with
+                    # this chunk's remaining host stages — the blocking
+                    # device_get in stage_process was ~0.14 ms/read of
+                    # pure wait on the tunnel link
+                    try:
+                        for h in handles:
+                            h.copy_to_host_async()
+                    except Exception:  # noqa: BLE001 — optimization only
+                        pass
                 else:
                     handles = self._fe_dispatch(fe_args)
             return chunk, lens, handles

@@ -11,10 +11,13 @@ together.
 
 Topology: the parent's WorkerPool threads become thin proxies — each
 drains reads from the shared bounded work queue (contract unchanged:
-capacities, back-off, Done pills) and round-trips one chunk to its
-child over a pipe.  Children run the unmodified AlignmentEngine, so a
-read's result is bit-identical to the single-process device path no
-matter which child maps it.
+capacities, back-off, Done pills) and round-trips one chunk to a
+child over a pipe.  Requests carry ids and a per-child reader thread
+dispatches replies, so SEVERAL proxies can keep chunks in flight to
+the same child — the child's pipe acts as a depth-2 prefetch buffer
+and its map loop runs back-to-back.  Children run the unmodified
+AlignmentEngine, so a read's result is bit-identical to the
+single-process device path no matter which child maps it.
 
 The reference's analogue is threads sharing one C index
 (/root/reference/src/lib.rs:545); the cross-process index share is
@@ -25,11 +28,11 @@ from __future__ import annotations
 import atexit
 import multiprocessing as mp
 import os
+import queue
 import shutil
-import sys
 import tempfile
 import threading
-from typing import Callable, List, Optional
+from typing import Callable, Dict, List
 
 
 def _child_main(
@@ -63,17 +66,17 @@ def _child_main(
         no_2nd = bool(map_opt.flag & MM_F_NO_PRINT_2ND)
         seq_names = index.seq_names
         seq_lens = index.seq_lens
-        conn.send(("ready", os.getpid()))
+        conn.send(("ready", -1, os.getpid()))
         while True:
             msg = conn.recv()
             if msg is None:
-                conn.send(("bye", eng.metrics.snapshot()))
+                conn.send(("bye", -1, eng.metrics.snapshot()))
                 return
-            kind = msg[0]
+            kind, rid = msg[0], msg[1]
             if kind == "metrics":
-                conn.send(("metrics", eng.metrics.snapshot()))
+                conn.send(("metrics", rid, eng.metrics.snapshot()))
                 continue
-            _, seqs, cs, md = msg
+            seqs, cs, md = msg[2], msg[3], msg[4]
             try:
                 keys = list(dict.fromkeys(seqs))
                 regs = eng.map_batch(keys, cs=cs, md=md)
@@ -81,16 +84,71 @@ def _child_main(
                     s: regions_to_mappings(r, seq_names, seq_lens, no_2nd)
                     for s, r in zip(keys, regs)
                 }
-                conn.send(("ok", [table[s] for s in seqs]))
+                conn.send(("ok", rid, [table[s] for s in seqs]))
             except Exception as exc:  # noqa: BLE001 — surface to parent
-                conn.send(("error", repr(exc)))
+                conn.send(("error", rid, repr(exc)))
     except (EOFError, KeyboardInterrupt):
         pass
     except Exception as exc:  # noqa: BLE001 — init failure: tell parent
         try:
-            conn.send(("error", repr(exc)))
+            conn.send(("error", -1, repr(exc)))
         except Exception:  # noqa: BLE001
             pass
+
+
+class _Child:
+    """Parent-side handle: pipe + send lock + reply dispatcher."""
+
+    def __init__(self, proc, conn) -> None:
+        self.proc = proc
+        self.conn = conn
+        self.send_lock = threading.Lock()
+        self.pending: Dict[int, "queue.SimpleQueue"] = {}
+        self.pending_lock = threading.Lock()
+        self.ready_q: "queue.SimpleQueue" = queue.SimpleQueue()
+        self.bye = threading.Event()
+        self.reader = threading.Thread(target=self._read_loop, daemon=True)
+        self.reader.start()
+
+    def _read_loop(self) -> None:
+        while True:
+            try:
+                kind, rid, payload = self.conn.recv()
+            except (EOFError, OSError):
+                break
+            if kind == "ready":
+                self.ready_q.put(payload)
+                continue
+            if kind == "bye":
+                self.ready_q.put(payload)  # metrics snapshot
+                self.bye.set()
+                break
+            if rid == -1:  # init-time failure
+                self.ready_q.put(RuntimeError(str(payload)))
+                continue
+            with self.pending_lock:
+                waiter = self.pending.pop(rid, None)
+            if waiter is not None:
+                waiter.put((kind, payload))
+        # child gone: fail everything still in flight
+        with self.pending_lock:
+            waiters = list(self.pending.values())
+            self.pending.clear()
+        for w in waiters:
+            w.put(("error", "worker process exited"))
+
+    def request(self, rid: int, msg) -> tuple:
+        waiter: "queue.SimpleQueue" = queue.SimpleQueue()
+        with self.pending_lock:
+            self.pending[rid] = waiter
+        try:
+            with self.send_lock:
+                self.conn.send(msg)
+        except (OSError, ValueError) as exc:
+            with self.pending_lock:
+                self.pending.pop(rid, None)
+            return ("error", f"send failed: {exc!r}")
+        return waiter.get()
 
 
 class ProcMapper:
@@ -116,9 +174,9 @@ class ProcMapper:
             worker_processes=0, single_batch_shape=True
         )
         self.n_procs = n_procs
-        self._conns = []
-        self._procs = []
-        self._locks: List[threading.Lock] = []
+        self._children: List[_Child] = []
+        self._rid = 0
+        self._rid_lock = threading.Lock()
         self._closed = False
         try:
             import jax
@@ -138,31 +196,37 @@ class ProcMapper:
             )
             p.start()
             child_c.close()
-            self._conns.append(parent_c)
-            self._procs.append(p)
-            self._locks.append(threading.Lock())
+            self._children.append(_Child(p, parent_c))
         atexit.register(self.shutdown)
+
+    def _next_rid(self) -> int:
+        with self._rid_lock:
+            self._rid += 1
+            return self._rid
 
     def wait_ready(self, timeout: float = 300.0) -> bool:
         """Block until every child finished engine construction (no
         device work yet — the index uploads lazily on first map)."""
-        for conn in self._conns:
-            if not conn.poll(timeout):
+        for child in self._children:
+            try:
+                got = child.ready_q.get(timeout=timeout)
+            except queue.Empty:
                 return False
-            kind, _ = conn.recv()
-            if kind != "ready":
+            if isinstance(got, Exception):
                 return False
         return True
 
     def map_fn(self, i: int) -> Callable:
-        """A WorkerPool map_fn that round-trips chunks to child i."""
-        conn = self._conns[i % self.n_procs]
-        lock = self._locks[i % self.n_procs]
+        """A WorkerPool map_fn that round-trips chunks to child
+        i % n_procs.  Several proxies may target one child — requests
+        interleave on the pipe and the child maps them back-to-back."""
+        child = self._children[i % self.n_procs]
 
         def fn(seqs, cs: bool = True, md: bool = False):
-            with lock:
-                conn.send(("map", seqs, cs, md))
-                kind, payload = conn.recv()
+            rid = self._next_rid()
+            kind, payload = child.request(
+                rid, ("map", rid, seqs, cs, md)
+            )
             if kind != "ok":
                 raise RuntimeError(f"worker process failed: {payload}")
             return payload
@@ -186,11 +250,10 @@ class ProcMapper:
 
     def metrics(self) -> List[dict]:
         out = []
-        for conn, lock in zip(self._conns, self._locks):
+        for child in self._children:
             try:
-                with lock:
-                    conn.send(("metrics",))
-                    kind, snap = conn.recv()
+                rid = self._next_rid()
+                kind, snap = child.request(rid, ("metrics", rid))
                 if kind == "metrics":
                     out.append(snap)
             except Exception:  # noqa: BLE001 — child gone
@@ -201,25 +264,17 @@ class ProcMapper:
         if self._closed:
             return
         self._closed = True
-        for conn, lock, p in zip(self._conns, self._locks, self._procs):
-            # a proxy may be mid-recv holding the lock (long child map);
-            # don't block shutdown on it — just terminate the child
-            got_lock = lock.acquire(timeout=2.0)
+        for child in self._children:
             try:
-                if got_lock:
-                    try:
-                        conn.send(None)
-                        if conn.poll(5.0):
-                            conn.recv()
-                        conn.close()
-                    except Exception:  # noqa: BLE001
-                        pass
-            finally:
-                if got_lock:
-                    lock.release()
-            p.join(timeout=5.0)
-            if p.is_alive():
-                p.terminate()
+                with child.send_lock:
+                    child.conn.send(None)
+                child.bye.wait(timeout=5.0)
+                child.conn.close()
+            except Exception:  # noqa: BLE001
+                pass
+            child.proc.join(timeout=5.0)
+            if child.proc.is_alive():
+                child.proc.terminate()
         shutil.rmtree(self._tmp, ignore_errors=True)
 
 
