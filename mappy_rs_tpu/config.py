@@ -329,6 +329,14 @@ class AlignerConfig:
     # compiling a second tiny [8, L] graph (set in proc children where
     # trailing chunks are frequent and compiles are per-process)
     single_batch_shape: bool = False
+    # 4-bit-pack the query-code upload (two codes per byte, expanded
+    # on device): halves steady-state uplink bytes.  Default OFF —
+    # interleaved A/B on the tunnel-attached v5e measured it SLOWER
+    # (4600/5417 vs 5775/6065 reads/s): the on-device [B,L//2,2] ->
+    # [B,L] expand is a lane relayout on the dispatch critical path
+    # and costs more than the link bytes save.  Keep for genuinely
+    # bandwidth-starved links.
+    pack_uplink: bool = False
 
     def replace(self, **kw) -> "AlignerConfig":
         return dataclasses.replace(self, **kw)

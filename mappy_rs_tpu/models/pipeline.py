@@ -66,14 +66,23 @@ def _front_end_impl(
     key_hi, key_lo, offsets, counts, pos_rid, pos_ps, bucket_start,
     n_keys, mid_occ, k, w, M, A, chain_params, chain_window, use_pallas,
     q_occ_frac=0.0, bucket_bits=0, bucket_rounds=0, bucket_shift=0,
-    pallas_window=128, occ_dist=0, max_max_occ=0,
+    pallas_window=128, occ_dist=0, max_max_occ=0, packed=False,
 ):
     """Fused sketch -> seed lookup -> chain: ONE device dispatch per
     batch (the per-call tunnel latency on the dev setup is ~50-100ms,
     so call count matters as much as FLOPs).  For HPC indexes, `codes`
     are homopolymer-compressed with `sk_lens` compressed lengths and
     the hpc_* arrays mapping back to uncompressed coordinates; `lens`
-    stays uncompressed (anchor coordinate transforms need it)."""
+    stays uncompressed (anchor coordinate transforms need it).
+
+    ``packed=True``: `codes` arrive 4-bit-packed ([B, L//2], two codes
+    per byte) and are expanded on device — uplink bytes are ~half the
+    steady-state tunnel traffic, and the link is shared by every
+    worker process."""
+    if packed:
+        codes = jnp.stack(
+            [codes >> 4, codes & 0xF], axis=-1
+        ).reshape(codes.shape[0], -1)
     mins = sketch_compact(
         codes, sk_lens, k, w, M,
         force_inf=hpc_force, pos_map=hpc_pos_map, spans=hpc_spans,
@@ -110,7 +119,7 @@ _front_end = partial(
     static_argnames=(
         "k", "w", "M", "A", "chain_params", "chain_window", "use_pallas",
         "q_occ_frac", "bucket_bits", "bucket_rounds", "bucket_shift",
-        "pallas_window", "occ_dist", "max_max_occ",
+        "pallas_window", "occ_dist", "max_max_occ", "packed",
     ),
 )(_front_end_impl)
 
@@ -156,7 +165,7 @@ def make_dp_front_end(mesh, is_hpc: bool, **static_kw):
         "k", "w", "M", "A", "chain_params", "chain_window", "use_pallas",
         "q_occ_frac", "bt_k", "bt_cuts", "min_cnt", "min_sc",
         "bucket_bits", "bucket_rounds", "bucket_shift",
-        "pallas_window", "occ_dist", "max_max_occ",
+        "pallas_window", "occ_dist", "max_max_occ", "packed",
     ),
 )
 def _front_end_bt(
@@ -165,7 +174,7 @@ def _front_end_bt(
     n_keys, mid_occ, k, w, M, A, chain_params, chain_window, use_pallas,
     q_occ_frac, bt_k, bt_cuts, min_cnt, min_sc, bucket_bits=0,
     bucket_rounds=0, bucket_shift=0, pallas_window=128,
-    occ_dist=0, max_max_occ=0,
+    occ_dist=0, max_max_occ=0, packed=False,
 ):
     """_front_end + on-device chain backtracking: the whole seeding and
     chaining path runs in one dispatch and only the compact
@@ -173,6 +182,10 @@ def _front_end_bt(
     the packed anchor stack — the dominant cost on tunnel links)."""
     from ..ops.backtrack_pallas import backtrack_chains_pallas
 
+    if packed:
+        codes = jnp.stack(
+            [codes >> 4, codes & 0xF], axis=-1
+        ).reshape(codes.shape[0], -1)
     mins = sketch_compact(
         codes, sk_lens, k, w, M,
         force_inf=hpc_force, pos_map=hpc_pos_map, spans=hpc_spans,
@@ -393,6 +406,7 @@ class AlignmentEngine:
             # TPU: hand-written Mosaic chain kernel (predictable
             # compiles, H=128 window); elsewhere: XLA block formulation
             is_hpc = bool(self.index.flag & 0x1)
+            pack = self.cfg.pack_uplink and not is_hpc
             if is_hpc:
                 from ..ops.sketch import compress_hpc, hpc_spans
 
@@ -404,7 +418,13 @@ class AlignmentEngine:
                 fe_posmap = jnp.asarray(run_end)
                 fe_spans = jnp.asarray(spans_np)
             else:
-                fe_codes = jnp.asarray(batch)
+                # optionally 4-bit-pack the query upload (two codes per
+                # byte); expanded on device in the front-end graph.
+                # Uplink bytes halve — the tunnel is shared by every
+                # worker process and runs near saturation at full rate.
+                fe_codes = jnp.asarray(
+                    (batch[:, 0::2] << 4) | batch[:, 1::2]
+                ) if pack else jnp.asarray(batch)
                 fe_sklens = jnp.asarray(lens)
                 fe_force = fe_posmap = fe_spans = None
             fe_args = (
@@ -444,7 +464,7 @@ class AlignmentEngine:
                         bucket_bits=fe_args[23], bucket_rounds=fe_args[24],
                         bucket_shift=fe_args[25],
                         pallas_window=self.cfg.pallas_chain_window,
-                        occ_dist=od, max_max_occ=mmo,
+                        occ_dist=od, max_max_occ=mmo, packed=pack,
                     )
                     # start the device->host DMA now, overlapped with
                     # this chunk's remaining host stages — the blocking
@@ -456,7 +476,7 @@ class AlignmentEngine:
                     except Exception:  # noqa: BLE001 — optimization only
                         pass
                 else:
-                    handles = self._fe_dispatch(fe_args)
+                    handles = self._fe_dispatch(fe_args, packed=pack)
             return chunk, lens, handles
 
         def stage_process(state):
@@ -841,18 +861,18 @@ class AlignmentEngine:
             return int(self.opt.occ_dist), int(self.opt.max_max_occ)
         return 0, 0
 
-    def _fe_dispatch(self, fe_args):
+    def _fe_dispatch(self, fe_args, packed=False):
         """Dispatch the fused front end: single-device jit, or the
         cached shard_map'd data-parallel wrapper when a mesh is set."""
         od, mmo = self._seed_select_params()
         if self.mesh is None:
             return _front_end(
                 *fe_args, pallas_window=self.cfg.pallas_chain_window,
-                occ_dist=od, max_max_occ=mmo,
+                occ_dist=od, max_max_occ=mmo, packed=packed,
             )
         statics = fe_args[15:]
         is_hpc = fe_args[3] is not None
-        key = (is_hpc,) + tuple(statics) + (od, mmo)
+        key = (is_hpc,) + tuple(statics) + (od, mmo, packed)
         fe = self._dp_fes.get(key)
         if fe is None:
             (k, w, M, A, chain_params, chain_window, use_pallas, qof,
@@ -863,7 +883,7 @@ class AlignmentEngine:
                 use_pallas=use_pallas, q_occ_frac=qof,
                 bucket_bits=bb, bucket_rounds=br, bucket_shift=bsh,
                 pallas_window=self.cfg.pallas_chain_window,
-                occ_dist=od, max_max_occ=mmo,
+                occ_dist=od, max_max_occ=mmo, packed=packed,
             )
             self._dp_fes[key] = fe
         return fe(*fe_args[:15])
