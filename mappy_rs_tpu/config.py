@@ -329,6 +329,20 @@ class AlignerConfig:
     # compiling a second tiny [8, L] graph (set in proc children where
     # trailing chunks are frequent and compiles are per-process)
     single_batch_shape: bool = False
+    # mid-segment band sizing: W = max(floor, 32*ceil((drift+slack)/32))
+    # where drift = |qlen - tlen| is KNOWN from the anchors at both
+    # segment ends.  The floor/slack trade DP cells (the dominant host
+    # cost) against path-wander coverage; consecutive band lanes step
+    # j-i by 2, so W lanes cover a 2W-wide j-i corridor.  Values must
+    # keep W a multiple of 32 (AVX-512 lane granularity); the Mosaic
+    # kernels pad lanes to 128 internally.
+    # Defaults re-measured 2026-08-18 (tpu_trials + /tmp/band_diff):
+    # floor 64 / slack 34 cut total DP cells 41% with 3000/3000
+    # bit-identical Mappings and unchanged accuracy on the 5%-error
+    # 1kb workload vs the round-2 128/66 values; big in-segment indels
+    # are still covered because drift is part of the formula.
+    mid_band_floor: int = 64
+    mid_band_slack: int = 34
     # 4-bit-pack the query-code upload (two codes per byte, expanded
     # on device): halves steady-state uplink bytes.  Default OFF —
     # interleaved A/B on the tunnel-attached v5e measured it SLOWER

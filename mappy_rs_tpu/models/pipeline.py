@@ -1012,6 +1012,13 @@ class AlignmentEngine:
         return [s for s in segs if s[1] > s[0] and s[3] > s[2]]
 
     # ------------------------------------------------------------------
+    def _mid_band(self, drift: int) -> int:
+        """Band width for an anchored mid segment: the known diagonal
+        drift plus wander slack, 32-lane quantized (see
+        AlignerConfig.mid_band_floor/_slack)."""
+        need = 32 * ((drift + self.cfg.mid_band_slack + 31) // 32)
+        return max(self.cfg.mid_band_floor, need)
+
     def _run_jobs(self, jobs: List[_ExtJob]) -> None:
         import jax.numpy as jnp
 
@@ -1058,7 +1065,7 @@ class AlignmentEngine:
             # units of margin covers ~64 net unmatched indels of path
             # wander within one anchored segment.
             if j.kind == "mid":
-                W = max(128, 128 * ((drift + 66 + 127) // 128))
+                W = self._mid_band(drift)
             else:
                 # flank t-window is deliberately longer than q (ref
                 # overhang); the band covers gaps up to ~flank_band/2
@@ -1325,7 +1332,7 @@ class AlignmentEngine:
                 drift = abs(ql - tl)
                 # same band rule as _run_jobs (see comment there)
                 if j.kind == "mid":
-                    W = max(128, 128 * ((drift + 66 + 127) // 128))
+                    W = self._mid_band(drift)
                 else:
                     W = self.flank_band
                 mode = 2 if j.kind == "mid" else 1

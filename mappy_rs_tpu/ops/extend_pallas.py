@@ -77,7 +77,8 @@ DIAG_BLOCK = 8  # anti-diagonals per grid step (amortizes step overhead;
 
 
 def _make_kernel(J: int, W: int, S: int, p: ExtendParams,
-                 dirs_dtype=jnp.uint8, QP: int = 0, TP: int = 0):
+                 dirs_dtype=jnp.uint8, QP: int = 0, TP: int = 0,
+                 W_log: int = 0):
     """DP kernel with IN-KERNEL diagonal staging: the query/target
     windows for the current anti-diagonal live in [J, W] VMEM scratch
     and are maintained as shift registers — one lane roll plus one
@@ -85,6 +86,14 @@ def _make_kernel(J: int, W: int, S: int, p: ExtendParams,
     diagonal.  (The previous design staged [S, J, W] diagonal-major
     tensors; on-host that upload is ~1MB/job, on-device the XLA
     gathers dominated the kernel runtime.)"""
+    # W is the PHYSICAL lane width (multiple of 128 on real TPUs);
+    # W_log is the band width the DP semantics use.  Lanes >= W_log are
+    # permanently out-of-band (state NEG, dirs 0), so shifted reads
+    # across the logical edge see the same sentinel the narrow-band
+    # scalar/AVX engines keep — outputs are bit-identical to a
+    # physically narrow band.
+    WL = W_log or W
+
     def gap(l):
         return jnp.minimum(p.q + l * p.e, p.q2 + l * p.e2)
 
@@ -123,8 +132,8 @@ def _make_kernel(J: int, W: int, S: int, p: ExtendParams,
         for k in range(DIAG_BLOCK):
             s = blk * DIAG_BLOCK + k
             # ---- window maintenance: advance (s-1) -> s ----
-            lo_s = jnp.maximum(s // 2 - W // 2 + 1, 0)
-            lo_p = jnp.maximum((s - 1) // 2 - W // 2 + 1, 0)
+            lo_s = jnp.maximum(s // 2 - WL // 2 + 1, 0)
+            lo_p = jnp.maximum((s - 1) // 2 - WL // 2 + 1, 0)
             qshift = jnp.where(s == 0, 0, lo_s - lo_p)  # 0/1
             tshift = jnp.where(s == 0, 1, 1 - (lo_s - lo_p))
 
@@ -164,15 +173,18 @@ def _make_kernel(J: int, W: int, S: int, p: ExtendParams,
 
     def _substep(k, s, qb, tb, dirs_ref, qlen, tlen, lane, col,
                  H1v, E1v, E2v, F1v, F2v, H2v, bst):
-        lo = jnp.maximum(s // 2 - W // 2 + 1, 0)
-        lo1 = jnp.maximum((s - 1) // 2 - W // 2 + 1, 0)
-        lo2 = jnp.maximum((s - 2) // 2 - W // 2 + 1, 0)
+        lo = jnp.maximum(s // 2 - WL // 2 + 1, 0)
+        lo1 = jnp.maximum((s - 1) // 2 - WL // 2 + 1, 0)
+        lo2 = jnp.maximum((s - 2) // 2 - WL // 2 + 1, 0)
         d1 = lo - lo1  # 0/1
         d2 = lo - lo2  # 0/1/2
 
         i = lo + lane
         j = s - i
-        cell_ok = (i <= jnp.minimum(s, qlen - 1)) & (j >= 0) & (j <= tlen - 1)
+        cell_ok = (
+            (i <= jnp.minimum(s, qlen - 1)) & (j >= 0) & (j <= tlen - 1)
+            & (lane < WL)
+        )
 
         ambi = (qb == 4) | (tb == 4)
         pair = jnp.where(ambi, -p.sc_ambi, jnp.where(qb == tb, p.a, -p.b))
@@ -275,18 +287,32 @@ def _make_kernel(J: int, W: int, S: int, p: ExtendParams,
     return kernel
 
 
+def _w_phys(W: int) -> int:
+    """Physical lane width for a logical band width W: Mosaic VMEM
+    arrays need 128-aligned lane dims on real TPUs; interpret mode
+    (CPU tests) runs the exact logical width."""
+    if W % 128 == 0 or jax.default_backend() != "tpu":
+        return W
+    return ((W + 127) // 128) * 128
+
+
 @partial(jax.jit, static_argnames=("W", "params", "dirs_dtype", "S_pad"))
 def _extend_pallas_device(q32, t32, qlen, tlen, W: int,
                           params: ExtendParams, dirs_dtype=jnp.uint8,
                           S_pad: int = 0):
     """q32/t32: [J, QP]/[J, TP] int32 padded base arrays (QP/TP
-    multiples of 128, QP >= W); staging happens inside the kernel."""
+    multiples of 128, QP >= W_phys); qlen/tlen arrive [J, W_phys].
+    Staging happens inside the kernel.  `W` is the LOGICAL band
+    width; the dirs output is physical-width (lanes >= W are 0)."""
     J = q32.shape[0]
+    WP = _w_phys(W)
     assert S_pad % DIAG_BLOCK == 0
     J2, QP = q32.shape
     TP = t32.shape[1]
-    assert J2 == J and QP % 128 == 0 and TP % 128 == 0 and QP >= W
-    kernel = _make_kernel(J, W, S_pad, params, dirs_dtype, QP, TP)
+    assert J2 == J and QP % 128 == 0 and TP % 128 == 0 and QP >= WP
+    assert qlen.shape == (J, WP) and tlen.shape == (J, WP)
+    kernel = _make_kernel(J, WP, S_pad, params, dirs_dtype, QP, TP,
+                          W_log=W)
     DB = DIAG_BLOCK
     dirs, best = pl.pallas_call(
         kernel,
@@ -298,16 +324,16 @@ def _extend_pallas_device(q32, t32, qlen, tlen, W: int,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((DB, J, W), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((DB, J, WP), lambda s: (s, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((S_pad, J, W), dirs_dtype),
+            jax.ShapeDtypeStruct((S_pad, J, WP), dirs_dtype),
             jax.ShapeDtypeStruct((J, 128), _I32),
         ),
-        scratch_shapes=[pltpu.VMEM((J, W), _I32) for _ in range(6)]
+        scratch_shapes=[pltpu.VMEM((J, WP), _I32) for _ in range(6)]
         + [pltpu.VMEM((J, 128), _I32)]
-        + [pltpu.VMEM((J, W), _I32) for _ in range(2)],
+        + [pltpu.VMEM((J, WP), _I32) for _ in range(2)],
         interpret=jax.default_backend() != "tpu",
     )(q32, t32, qlen, tlen)
     return dirs, best
@@ -338,8 +364,9 @@ def _extend_traceback_jit(q, t, qlen, tlen, mode, W, OPS, params,
     from .traceback_pallas import traceback_pallas
 
     J, Q = q.shape
-    ql2 = jnp.broadcast_to(qlen.astype(jnp.int32)[:, None], (J, W))
-    tl2 = jnp.broadcast_to(tlen.astype(jnp.int32)[:, None], (J, W))
+    WP = _w_phys(W)
+    ql2 = jnp.broadcast_to(qlen.astype(jnp.int32)[:, None], (J, WP))
+    tl2 = jnp.broadcast_to(tlen.astype(jnp.int32)[:, None], (J, WP))
     dirs, best = _extend_pallas_device(
         q.astype(jnp.int32), t.astype(jnp.int32), ql2, tl2, W, params,
         dirs_dtype=jnp.int32, S_pad=S_pad,
@@ -370,7 +397,7 @@ def extend_traceback_device(
     order, -1 padded) and `info` [J, 128] int32 (cols: 0 n_ops,
     1 final_i, 2 final_j, 3 score, 4 started, 5 overflow, 6 start_i,
     7 start_j)."""
-    q = _pad_lanes(q, W)
+    q = _pad_lanes(q, _w_phys(W))
     t = _pad_lanes(t, 128)
     S = q.shape[1] + t.shape[1] - 1
     S_pad = ((S + DIAG_BLOCK - 1) // DIAG_BLOCK) * DIAG_BLOCK
@@ -398,21 +425,26 @@ def extend_dp_pallas(
 ) -> Dict[str, np.ndarray]:
     """Host wrapper: in-kernel staging; same outputs as
     ops/extend.py:extend_dp (dirs/best_sc/best_i/best_j/g_sc/g_j/end_sc)."""
-    q = _pad_lanes(q, W)
+    WP = _w_phys(W)
+    q = _pad_lanes(q, WP)
     t = _pad_lanes(t, 128)
     S = q.shape[1] + t.shape[1] - 1
     S_pad = ((S + DIAG_BLOCK - 1) // DIAG_BLOCK) * DIAG_BLOCK
     ql2 = np.broadcast_to(
-        qlen.astype(np.int32)[:, None], (len(qlen), W)
+        qlen.astype(np.int32)[:, None], (len(qlen), WP)
     ).copy()
     tl2 = np.broadcast_to(
-        tlen.astype(np.int32)[:, None], (len(tlen), W)
+        tlen.astype(np.int32)[:, None], (len(tlen), WP)
     ).copy()
     dirs, best = _extend_pallas_device(
         jnp.asarray(q.astype(np.int32)), jnp.asarray(t.astype(np.int32)),
         jnp.asarray(ql2), jnp.asarray(tl2),
         W, params, S_pad=S_pad,
     )
+    if WP != W:
+        # host walkers infer the band width from the row length:
+        # hand them the logical-width tensor
+        dirs = dirs[:, :, :W]
     best = np.asarray(best)
     return {
         "dirs": dirs,  # device array [S, J, W]

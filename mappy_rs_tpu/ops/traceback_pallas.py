@@ -72,7 +72,12 @@ def _b(cond):
     return jnp.where(cond, 1, 0)
 
 
-def _make_kernel(J: int, W: int, S: int, OPS: int, end_bonus: int):
+def _make_kernel(J: int, W: int, S: int, OPS: int, end_bonus: int,
+                 W_log: int = 0):
+    # W is the dirs tensor's PHYSICAL lane width; W_log the band width
+    # the DP used (lanes >= W_log are 0 in dirs and never addressed:
+    # the walk keeps d = i - lo in [0, W_log))
+    WL = W_log or W
     NB = (S + DIAG_BLOCK - 1) // DIAG_BLOCK
 
     def kernel(dirs_ref, best_ref, qlen_ref, tlen_ref, mode_ref,
@@ -167,7 +172,7 @@ def _make_kernel(J: int, W: int, S: int, OPS: int, end_bonus: int):
 
         for k in range(DIAG_BLOCK - 1, -1, -1):
             s = (NB - 1 - blk) * DIAG_BLOCK + k  # descending sweep
-            lo = jnp.maximum(s // 2 - W // 2 + 1, 0)
+            lo = jnp.maximum(s // 2 - WL // 2 + 1, 0)
             drow = dirs_ref[k]  # [J, W] int32
 
             def read_byte(i_cur):
@@ -268,16 +273,16 @@ def traceback_pallas(dirs, best, qlen2, tlen2, mode2, W: int, OPS: int,
     same convention as extend_pallas).  Returns (ops [J, OPS] int32
     packed len<<4|op in END->START order, info [J, 128] int32 — see
     kernel docstring for columns)."""
-    S, J, _ = dirs.shape
-    assert S % DIAG_BLOCK == 0
+    S, J, WP = dirs.shape
+    assert S % DIAG_BLOCK == 0 and WP >= W
     NB = S // DIAG_BLOCK
-    kernel = _make_kernel(J, W, S, OPS, end_bonus)
+    kernel = _make_kernel(J, WP, S, OPS, end_bonus, W_log=W)
     ops, info = pl.pallas_call(
         kernel,
         grid=(NB,),
         in_specs=[
             pl.BlockSpec(
-                (DIAG_BLOCK, J, W), lambda b: (NB - 1 - b, 0, 0),
+                (DIAG_BLOCK, J, WP), lambda b: (NB - 1 - b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
