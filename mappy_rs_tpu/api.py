@@ -65,7 +65,7 @@ class Mapping:
         "block_len",
         "mapq",
         "is_primary",
-        "cigar",
+        "_cig",
         "NM",
         "MD",
         "cs",
@@ -102,7 +102,7 @@ class Mapping:
         self.block_len = block_len
         self.mapq = mapq
         self.is_primary = is_primary
-        self.cigar = cigar
+        self._cig = cigar
         self.NM = NM
         self.MD = MD
         self.cs = cs
@@ -110,6 +110,24 @@ class Mapping:
         # mappy.Alignment exposes this field; the reference's Mapping
         # does not carry it, so it is a documented superset here.
         self.trans_strand = trans_strand
+
+    @property
+    def cigar(self) -> List[Tuple[int, int]]:
+        """[(n, op)] list, unpacked lazily: the engine hands CIGARs
+        over as packed int32 arrays (cheap to build, cheap to pickle
+        across the worker-process pipe) and most consumers — PAF
+        emitters, coordinate users — never touch per-op tuples."""
+        c = self._cig
+        if type(c) is not list:
+            from .ops.cigar import unpack_ops
+
+            c = [] if c is None else unpack_ops(np.asarray(c))
+            self._cig = c
+        return c
+
+    @cigar.setter
+    def cigar(self, value) -> None:
+        self._cig = value
 
     # --- mappy-compatible aliases (lib.rs:195-284) ---------------------
     @property
@@ -182,8 +200,28 @@ class Mapping:
         if not isinstance(other, Mapping):
             return NotImplemented
         return all(
-            getattr(self, s) == getattr(other, s) for s in self.__slots__
+            getattr(self, "cigar" if s == "_cig" else s)
+            == getattr(other, "cigar" if s == "_cig" else s)
+            for s in self.__slots__
         )
+
+    def __reduce__(self):
+        # flat-tuple pickling: ~2x faster than the default slots
+        # protocol — Mappings cross the worker-process pipe once per
+        # hit, so this is on the multi-process runtime's hot path.
+        # The strand travels as its int value (enum members pickle by
+        # costly name lookup).
+        state = [getattr(self, s) for s in self.__slots__]
+        state[2] = state[2].value
+        return (_mk_mapping, tuple(state))
+
+
+def _mk_mapping(*state) -> "Mapping":
+    m = Mapping.__new__(Mapping)
+    for s, v in zip(Mapping.__slots__, state):
+        setattr(m, s, v)
+    m._strand = Strand(m._strand)
+    return m
 
 
 class Aligner:
@@ -658,7 +696,9 @@ def regions_to_mappings(
                 block_len=r.blen,
                 mapq=r.mapq,
                 is_primary=primary,
-                cigar=list(r.cigar or []),
+                # packed int32 array or [(n,op)] list — Mapping.cigar
+                # unpacks lazily on first access
+                cigar=r.cigar if r.cigar is not None else [],
                 NM=r.nm,
                 MD=r.md,
                 cs=r.cs,

@@ -1496,7 +1496,10 @@ class AlignmentEngine:
         if res is not None:
             merged, stats, cs_strs, md_strs = res
             for gi, r in enumerate(flat):
-                r.cigar = cig.unpack_ops(merged[gi])
+                # keep the native merge's packed int32 ops: Mapping
+                # unpacks lazily, and packed arrays cross the worker-
+                # process pipe far cheaper than [(n,op)] tuple lists
+                r.cigar = merged[gi]
                 r.mlen, r.blen, r.nm = (
                     int(stats[gi, 0]), int(stats[gi, 1]), int(stats[gi, 2])
                 )
