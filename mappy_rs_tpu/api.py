@@ -118,10 +118,19 @@ class Mapping:
         across the worker-process pipe) and most consumers — PAF
         emitters, coordinate users — never touch per-op tuples."""
         c = self._cig
-        if type(c) is not list:
+        if c is None:
+            c = []
+            self._cig = c
+        elif isinstance(c, np.ndarray):
+            # only packed int32 arrays unpack; any other iterable the
+            # caller set (tuple of (n, op) pairs, generator output, …)
+            # passes through as a list unchanged
             from .ops.cigar import unpack_ops
 
-            c = [] if c is None else unpack_ops(np.asarray(c))
+            c = unpack_ops(c)
+            self._cig = c
+        elif type(c) is not list:
+            c = list(c)
             self._cig = c
         return c
 
@@ -212,8 +221,12 @@ class Mapping:
         # The strand travels as its int value (enum members pickle by
         # costly name lookup).
         state = [getattr(self, s) for s in self.__slots__]
-        state[2] = state[2].value
+        v = state[_STRAND_IDX]
+        state[_STRAND_IDX] = getattr(v, "value", v)
         return (_mk_mapping, tuple(state))
+
+
+_STRAND_IDX = Mapping.__slots__.index("_strand")
 
 
 def _mk_mapping(*state) -> "Mapping":
@@ -576,7 +589,7 @@ class Aligner:
         if not hasattr(self, "_shards_dev"):
             shards = {}
             for name, arr in self._shards_np.items():
-                if name in ("seq_offsets",):
+                if name in ("rid2shard", "loc_off"):
                     sh = jax.sharding.NamedSharding(mesh, P())
                 elif arr.ndim == 1:
                     sh = jax.sharding.NamedSharding(mesh, P("index"))
@@ -593,8 +606,7 @@ class Aligner:
         rid = np.asarray(out["rid"])
         rev = np.asarray(out["rev"])
         es = np.asarray(out["ext_score"])
-        end_t = np.asarray(out["ext_end_t"])
-        offs = self._index.seq_offsets
+        end_t = np.asarray(out["ext_end_t"])  # per-contig coordinate
         res: List[Optional[dict]] = []
         for i in range(B):
             if cs[i] < self._map_opt.min_chain_score:
@@ -606,7 +618,9 @@ class Aligner:
                     "ctg": self._index.seq_names[r],
                     "ctg_len": int(self._index.seq_lens[r]),
                     "strand": 1 if rev[i] == 0 else -1,
-                    "r_en": int(min(max(end_t[i] - offs[r], 0), self._index.seq_lens[r])),
+                    "r_en": int(
+                        min(max(end_t[i], 0), self._index.seq_lens[r])
+                    ),
                     "chain_score": int(cs[i]),
                     "ext_score": int(es[i]),
                 }
@@ -697,8 +711,14 @@ def regions_to_mappings(
                 mapq=r.mapq,
                 is_primary=primary,
                 # packed int32 array or [(n,op)] list — Mapping.cigar
-                # unpacks lazily on first access
-                cigar=r.cigar if r.cigar is not None else [],
+                # unpacks lazily on first access.  List form is copied
+                # so Region and Mapping never share one mutable list
+                # (packed arrays are treated as immutable by every
+                # consumer and skip the copy).
+                cigar=(
+                    list(r.cigar) if type(r.cigar) is list
+                    else r.cigar if r.cigar is not None else []
+                ),
                 NM=r.nm,
                 MD=r.md,
                 cs=r.cs,

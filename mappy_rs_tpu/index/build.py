@@ -139,8 +139,16 @@ def build_index(
     seqs: Sequence[Tuple[str, str]],
     opts: IndexOptions | None = None,
     use_device: bool = True,
+    n_threads: int = 0,
 ) -> MinimizerIndex:
-    """Build a MinimizerIndex from (name, sequence) pairs."""
+    """Build a MinimizerIndex from (name, sequence) pairs.
+
+    ``n_threads`` parallelizes contig sketching across host threads
+    (the native sketcher releases the GIL inside the C call — the
+    analogue of the reference's pthread index build,
+    ``mm_idx_reader_read(n_threads)``, /root/reference/src/lib.rs:407).
+    0 = one thread per CPU when the native sketcher is available.
+    """
     opts = opts or IndexOptions()
     is_hpc = bool(opts.flag & 0x1)  # MM_I_HPC
     k, w = opts.k, opts.w
@@ -148,34 +156,72 @@ def build_index(
     lens: List[int] = []
     all_codes: List[np.ndarray] = []
     triples: List[np.ndarray] = []  # (key, y=rid<<32|pos<<1|strand)
+    jobs: List[Tuple[int, np.ndarray]] = []  # (rid, codes) to sketch
     for rid, (name, seq) in enumerate(seqs):
         codes = seq if isinstance(seq, np.ndarray) else encode(seq)
         names.append(name)
         lens.append(len(codes))
         all_codes.append(codes)
         if len(codes) >= k:
-            rows = _sketch_contig_native(codes, k, w, is_hpc)
-            if rows is None:
-                rows = (
-                    _sketch_contig_device(codes, k, w, is_hpc)
-                    if use_device
-                    else _sketch_contig_host(codes, k, w, is_hpc)
-                )
-            if len(rows):
-                key = rows[:, 0]
-                y = (
-                    (np.uint64(rid) << np.uint64(32))
-                    | (rows[:, 1] << np.uint64(1))
-                    | rows[:, 2]
-                )
-                triples.append(np.stack([key, y], axis=1))
+            jobs.append((rid, codes))
+
+    def _sketch_one(codes: np.ndarray) -> np.ndarray:
+        rows = _sketch_contig_native(codes, k, w, is_hpc)
+        if rows is None:
+            rows = (
+                _sketch_contig_device(codes, k, w, is_hpc)
+                if use_device
+                else _sketch_contig_host(codes, k, w, is_hpc)
+            )
+        return rows
+
+    from .. import native as _native
+
+    if n_threads <= 0:
+        import os
+
+        n_threads = os.cpu_count() or 1
+    if n_threads > 1 and len(jobs) > 1 and _native.available():
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=n_threads) as ex:
+            all_rows = list(ex.map(lambda j: _sketch_one(j[1]), jobs))
+    else:
+        all_rows = [_sketch_one(c) for _, c in jobs]
+    key_parts: List[np.ndarray] = []
+    y_parts: List[np.ndarray] = []
+    for (rid, _), rows in zip(jobs, all_rows):
+        if len(rows):
+            key_parts.append(np.ascontiguousarray(rows[:, 0]))
+            y_parts.append(
+                (np.uint64(rid) << np.uint64(32))
+                | (rows[:, 1] << np.uint64(1))
+                | rows[:, 2]
+            )
+    triples = key_parts  # truthiness below
 
     if triples:
-        kp = np.concatenate(triples, axis=0)
-        order = np.lexsort((kp[:, 1], kp[:, 0]))
-        kp = kp[order]
-        keys_all, positions = kp[:, 0], kp[:, 1]
-        uniq, first = np.unique(keys_all, return_index=True)
+        keys_all = np.concatenate(key_parts)
+        y_all = np.concatenate(y_parts)
+        # stable sort by key only == lexsort((y, key)): rows are
+        # appended in (rid, pos) order and a minimizer position holds
+        # one strand, so within equal keys insertion order IS
+        # y-ascending.  numpy's stable uint64 sort is radix — O(n),
+        # which matters at GRCh38 scale (~10^8 rows).
+        order = np.argsort(keys_all, kind="stable")
+        keys_all = keys_all[order]
+        positions = y_all[order]
+        # keys_all is sorted: unique via neighbor-diff (np.unique
+        # would sort a second time)
+        if len(keys_all):
+            mask = np.empty(len(keys_all), bool)
+            mask[0] = True
+            np.not_equal(keys_all[1:], keys_all[:-1], out=mask[1:])
+            first = np.flatnonzero(mask)
+            uniq = keys_all[first]
+        else:
+            uniq = keys_all
+            first = np.empty(0, np.int64)
         offsets = np.concatenate([first, [len(keys_all)]]).astype(np.uint64)
     else:
         uniq = np.empty(0, np.uint64)

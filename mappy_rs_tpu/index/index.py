@@ -35,18 +35,30 @@ def _next_pow2(n: int) -> int:
 
 @dataclass
 class DeviceIndex:
-    """Device-side (jnp) flat arrays; see MinimizerIndex.device."""
+    """Device-side (jnp) flat arrays; see MinimizerIndex.device.
 
-    key_hi: object  # uint32 [n_keys_pad]
+    Coordinate model: every device-side position is PER-CONTIG
+    (pos_ps = pos_end<<1|strand within the contig, rid separate), so
+    the device path has no dependence on concatenated-reference
+    offsets and supports references of any total length — only a
+    single contig is bounded (< 2^31 bp, minimap2's own limit).
+    The packed reference itself stays host-resident (extension jobs
+    are staged per batch); decision mode ships contig-range shards
+    (parallel/mesh.py)."""
+
+    key_hi: object  # uint32 [n_keys_pad]; dummy [8] when keys32
     key_lo: object  # uint32 [n_keys_pad]
     offsets: object  # int32  [n_keys_pad]  start into positions
     counts: object  # int32  [n_keys_pad]
     pos_rid: object  # int32  [n_pos]
     pos_ps: object  # uint32 [n_pos]  pos_end<<1 | strand
-    ref_codes: object  # uint8 [ref_len_pad] 0..4 concatenated contigs
-    seq_offsets: object  # int64->int32 [n_seq+1]
     n_keys: int
     log2_keys: int
+    #: True when every key value fits 32 bits (k <= 16 hashes): the
+    #: hi-word array is elided (one dummy row) and lookups compare the
+    #: lo word only — halves key-table HBM and the per-round gather
+    #: traffic of the binary search.
+    keys32: bool = False
     # bucketed key search (mm_idx_t's hash-bucket analogue): the top
     # `bucket_bits` bits of the key's EFFECTIVE width (minimap2 keys
     # are hash64 values within 2k bits, so key_hi alone is useless —
@@ -160,11 +172,28 @@ class MinimizerIndex:
         import jax.numpy as jnp
 
         n = len(self.keys)
-        n_pad = max(_next_pow2(max(n, 1)), 8)
-        key_hi = np.full(n_pad, 0xFFFFFFFF, np.uint32)
+        # per-contig positions must fit pos<<1|strand in 31 bits — the
+        # same single-contig bound as minimap2's 32-bit mm128 layout.
+        # (TOTAL reference length is unbounded on device: nothing
+        # device-side uses concatenated offsets.)
+        if len(self.seq_lens) and int(self.seq_lens.max()) >= 2**31:
+            raise OverflowError(
+                "a single contig exceeds 2^31 bp; per-contig device "
+                "coordinates (and minimap2 itself) cap contigs at 2^31"
+            )
+        # 128-multiple padding (pow2 padding wasted up to ~2x HBM on
+        # GRCh38-scale key tables); the branchless binary searches are
+        # generic over n_pad, sentinels fill the tail.
+        n_pad = max(((max(n, 1) + 127) // 128) * 128, 128)
+        eff = int(self.keys[-1]).bit_length() if n else 1
+        keys32 = eff <= 32
         key_lo = np.full(n_pad, 0xFFFFFFFF, np.uint32)
-        key_hi[:n] = (self.keys >> np.uint64(32)).astype(np.uint32)
         key_lo[:n] = (self.keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        if keys32:
+            key_hi = np.zeros(8, np.uint32)  # dummy, never gathered
+        else:
+            key_hi = np.full(n_pad, 0xFFFFFFFF, np.uint32)
+            key_hi[:n] = (self.keys >> np.uint64(32)).astype(np.uint32)
         offsets = np.zeros(n_pad, np.int32)
         counts = np.zeros(n_pad, np.int32)
         offsets[:n] = self.key_offsets[:n].astype(np.int32)
@@ -175,23 +204,8 @@ class MinimizerIndex:
         pos_ps = np.zeros(m_pad, np.uint32)
         pos_rid[:m] = (self.positions >> np.uint64(32)).astype(np.int32)
         pos_ps[:m] = (self.positions & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-        ref_len = len(self.ref_codes)
-        # device arrays carry offsets as int32: a concatenated reference
-        # past 2^31 bp would silently wrap (GRCh38 is ~3.1 Gbp across
-        # contigs but each contig is <2^31; the CONCATENATED total is
-        # what must fit).  Fail loudly until per-contig rebasing lands.
-        if int(self.seq_offsets[-1]) >= 2**31:
-            raise OverflowError(
-                "total reference length exceeds 2^31 bp; int32 device "
-                "offsets would overflow — split the reference or use "
-                "the sharded index path with per-shard rebasing"
-            )
-        ref_pad = ((ref_len + 127) // 128 + 1) * 128
-        ref = np.full(ref_pad, 4, np.uint8)
-        ref[:ref_len] = self.ref_codes
         log2 = max(n_pad - 1, 1).bit_length()
         # bucket directory over the sorted keys (see DeviceIndex)
-        eff = int(self.keys[-1]).bit_length() if n else 1
         bb = min(max(max(n, 1).bit_length() - 4, 6), 24, max(eff, 1))
         shift = max(eff - bb, 0)
         b_of_key = (self.keys >> np.uint64(shift)).astype(np.int64)
@@ -207,10 +221,9 @@ class MinimizerIndex:
             counts=jnp.asarray(counts),
             pos_rid=jnp.asarray(pos_rid),
             pos_ps=jnp.asarray(pos_ps),
-            ref_codes=jnp.asarray(ref),
-            seq_offsets=jnp.asarray(self.seq_offsets.astype(np.int32)),
             n_keys=n,
             log2_keys=log2,
+            keys32=keys32,
             bucket_start=jnp.asarray(bucket_start),
             bucket_bits=bb,
             bucket_shift=shift,

@@ -67,6 +67,7 @@ def _front_end_impl(
     n_keys, mid_occ, k, w, M, A, chain_params, chain_window, use_pallas,
     q_occ_frac=0.0, bucket_bits=0, bucket_rounds=0, bucket_shift=0,
     pallas_window=128, occ_dist=0, max_max_occ=0, packed=False,
+    keys32=False,
 ):
     """Fused sketch -> seed lookup -> chain: ONE device dispatch per
     batch (the per-call tunnel latency on the dev setup is ~50-100ms,
@@ -91,7 +92,7 @@ def _front_end_impl(
         mins, lens, key_hi, key_lo, offsets, counts, pos_rid, pos_ps,
         n_keys, mid_occ, A, k, q_occ_frac,
         bucket_start, bucket_bits, bucket_rounds, bucket_shift,
-        occ_dist, max_max_occ,
+        occ_dist, max_max_occ, keys32,
     )
     if use_pallas:
         f, p = chain_scores_pallas(anchors, chain_params, pallas_window)
@@ -119,7 +120,7 @@ _front_end = partial(
     static_argnames=(
         "k", "w", "M", "A", "chain_params", "chain_window", "use_pallas",
         "q_occ_frac", "bucket_bits", "bucket_rounds", "bucket_shift",
-        "pallas_window", "occ_dist", "max_max_occ", "packed",
+        "pallas_window", "occ_dist", "max_max_occ", "packed", "keys32",
     ),
 )(_front_end_impl)
 
@@ -165,7 +166,7 @@ def make_dp_front_end(mesh, is_hpc: bool, **static_kw):
         "k", "w", "M", "A", "chain_params", "chain_window", "use_pallas",
         "q_occ_frac", "bt_k", "bt_cuts", "min_cnt", "min_sc",
         "bucket_bits", "bucket_rounds", "bucket_shift",
-        "pallas_window", "occ_dist", "max_max_occ", "packed",
+        "pallas_window", "occ_dist", "max_max_occ", "packed", "keys32",
     ),
 )
 def _front_end_bt(
@@ -174,7 +175,7 @@ def _front_end_bt(
     n_keys, mid_occ, k, w, M, A, chain_params, chain_window, use_pallas,
     q_occ_frac, bt_k, bt_cuts, min_cnt, min_sc, bucket_bits=0,
     bucket_rounds=0, bucket_shift=0, pallas_window=128,
-    occ_dist=0, max_max_occ=0, packed=False,
+    occ_dist=0, max_max_occ=0, packed=False, keys32=False,
 ):
     """_front_end + on-device chain backtracking: the whole seeding and
     chaining path runs in one dispatch and only the compact
@@ -194,7 +195,7 @@ def _front_end_bt(
         mins, lens, key_hi, key_lo, offsets, counts, pos_rid, pos_ps,
         n_keys, mid_occ, A, k, q_occ_frac,
         bucket_start, bucket_bits, bucket_rounds, bucket_shift,
-        occ_dist, max_max_occ,
+        occ_dist, max_max_occ, keys32,
     )
     if use_pallas:
         f, p = chain_scores_pallas(anchors, chain_params, pallas_window)
@@ -465,6 +466,7 @@ class AlignmentEngine:
                         bucket_shift=fe_args[25],
                         pallas_window=self.cfg.pallas_chain_window,
                         occ_dist=od, max_max_occ=mmo, packed=pack,
+                        keys32=self.dev.keys32,
                     )
                     # start the device->host DMA now, overlapped with
                     # this chunk's remaining host stages — the blocking
@@ -869,10 +871,12 @@ class AlignmentEngine:
             return _front_end(
                 *fe_args, pallas_window=self.cfg.pallas_chain_window,
                 occ_dist=od, max_max_occ=mmo, packed=packed,
+                keys32=self.dev.keys32,
             )
         statics = fe_args[15:]
         is_hpc = fe_args[3] is not None
-        key = (is_hpc,) + tuple(statics) + (od, mmo, packed)
+        key = (is_hpc,) + tuple(statics) + (od, mmo, packed,
+                                            self.dev.keys32)
         fe = self._dp_fes.get(key)
         if fe is None:
             (k, w, M, A, chain_params, chain_window, use_pallas, qof,
@@ -884,6 +888,7 @@ class AlignmentEngine:
                 bucket_bits=bb, bucket_rounds=br, bucket_shift=bsh,
                 pallas_window=self.cfg.pallas_chain_window,
                 occ_dist=od, max_max_occ=mmo, packed=packed,
+                keys32=self.dev.keys32,
             )
             self._dp_fes[key] = fe
         return fe(*fe_args[:15])

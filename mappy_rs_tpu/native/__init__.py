@@ -157,6 +157,13 @@ def _load() -> Optional[ctypes.CDLL]:
         + [ctypes.c_int32] * 7
         + [np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")]
     )
+    lib.chain_dp_anchors.argtypes = (
+        [np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")] * 5
+        + [ctypes.c_int32] * 4  # n, max_dist_x, max_dist_y, bw
+        + [ctypes.c_float] * 2  # chn_pen_gap, chn_pen_skip
+        + [ctypes.c_int32] * 4  # max_iter, bw_long, use_rmq, is_splice
+        + [np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")] * 2
+    )
     _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     _i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     _u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
@@ -194,7 +201,11 @@ def sketch_contig(
         return None
     codes = np.ascontiguousarray(codes, np.uint8)
     L = len(codes)
-    cap = max(L // 3 + 1024, 1024)
+    # expected minimizer density is ~2/(w+1); 2x headroom on that is
+    # ample for real sequence and the retry loop covers adversarial
+    # inputs.  (The old L//3 cap allocated ~90M-slot buffers per
+    # 256Mbp contig at w=64 — GBs of churn per thread.)
+    cap = max(4 * L // (w + 1) + 1024, 1024)
     while True:
         out_key = np.empty(cap, np.uint64)
         out_y = np.empty(cap, np.uint64)
@@ -435,6 +446,35 @@ def finalize_batch(
         if want_md else None
     )
     return merged, out_stats.reshape(R, 3), cs_strs, md_strs
+
+
+def chain_dp_anchors(
+    rev: np.ndarray, rid: np.ndarray, rpos: np.ndarray,
+    qpos: np.ndarray, span: np.ndarray,
+    max_dist_x: int, max_dist_y: int, bw: int,
+    chn_pen_gap: float, chn_pen_skip: float,
+    max_iter: int, bw_long: int, use_rmq: int, is_splice: int = 0,
+):
+    """Chain a RAW anchor array (test hook; see front_end.cc
+    chain_dp_anchors).  Anchors must be pre-sorted by
+    (rev, rid, rpos, qpos).  Returns (f, p) int32 arrays or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(rev)
+    f = np.zeros(n, np.int32)
+    p = np.full(n, -1, np.int32)
+    lib.chain_dp_anchors(
+        np.ascontiguousarray(rev, np.int32),
+        np.ascontiguousarray(rid, np.int32),
+        np.ascontiguousarray(rpos, np.int32),
+        np.ascontiguousarray(qpos, np.int32),
+        np.ascontiguousarray(span, np.int32),
+        n, max_dist_x, max_dist_y, bw,
+        ctypes.c_float(chn_pen_gap), ctypes.c_float(chn_pen_skip),
+        max_iter, bw_long, use_rmq, is_splice, f, p,
+    )
+    return f, p
 
 
 def front_end_batch(

@@ -25,6 +25,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <queue>
 #include <unordered_set>
 #include <vector>
 
@@ -196,23 +197,38 @@ struct Chain {
 // re-scored with the full formula (log term, chn_pen_skip, span
 // saturation, dq caps).  This is this build's native formulation of
 // the goal minimap2 reaches with a Krmq AVL tree: O(log n) long-gap
-// predecessor search.  Divergence (documented in PARITY.md): one
-// candidate per side per anchor — an invalid tree max (dq <= 0 or
-// dq > max_dist) can shadow a valid lower-proxy anchor on the same
-// diagonal range.
+// predecessor search.  A query enumerates candidates in DECREASING
+// proxy order (the proxy is an upper bound on the exact join score,
+// so enumeration stops exactly): an invalid tree max (dq <= 0 or
+// dq > max_dist) no longer shadows valid lower-proxy anchors — the
+// caller splits the range at the invalid candidate's diagonal and
+// keeps searching; each leaf additionally remembers its SECOND-best
+// anchor so an invalid per-diagonal top doesn't hide the runner-up
+// on the same diagonal (residual divergence, PARITY.md: >2 invalid
+// anchors stacked on one diagonal can still shadow; bounded by the
+// enumeration cap).
 struct DiagTree {
   int n = 0;
   std::vector<double> val;
   std::vector<int32_t> idx;
+  std::vector<double> lv2;   // per-leaf second-best value
+  std::vector<int32_t> li2;  // per-leaf second-best anchor id
   void init(int m) {
     n = 1;
     while (n < m) n <<= 1;
     val.assign(2 * n, -1e300);
     idx.assign(2 * n, -1);
+    lv2.assign(n, -1e300);
+    li2.assign(n, -1);
   }
   void update(int pos, double v, int32_t id) {
     int q = pos + n;
-    if (v <= val[q]) return;
+    if (v <= val[q]) {
+      if (v > lv2[pos]) { lv2[pos] = v; li2[pos] = id; }
+      return;
+    }
+    lv2[pos] = val[q];
+    li2[pos] = idx[q];
     val[q] = v;
     idx[q] = id;
     for (q >>= 1; q >= 1; q >>= 1) {
@@ -243,6 +259,176 @@ struct DiagTree {
     return {bv, bi};
   }
 };
+
+// Chaining DP over a sorted anchor array (mm_chain_dp recurrence,
+// + the RMQ long-gap pass when use_rmq).  Extracted from
+// front_end_batch so adversarial tests can drive raw anchors
+// (tests/test_rmq_chain.py shadowing constructions).
+static void chain_dp(const std::vector<Anchor>& an,
+                     std::vector<int32_t>& f, std::vector<int32_t>& p,
+                     int32_t max_dist_x, int32_t max_dist_y,
+                     int32_t bw, float chn_pen_gap,
+                     float chn_pen_skip, int32_t max_iter,
+                     int32_t bw_long, int32_t use_rmq,
+                     int32_t is_splice) {
+  const int n = (int)an.size();
+    f.assign(n, 0);
+    p.assign(n, -1);
+    DiagTree tdl, tdr;          // RMQ long-join trees (per group)
+    std::vector<int64_t> ud;    // unique diagonals in current group
+    std::vector<int32_t> dci;   // compressed diag index per anchor
+    int g_start = 0, g_end = 0;
+    for (int i = 0; i < n; ++i) {
+      const Anchor& ai = an[i];
+      if (use_rmq && i >= g_end) {
+        // new (rev, rid) anchor group: compress its diagonals and
+        // reset the long-join trees
+        g_start = i;
+        g_end = i + 1;
+        while (g_end < n && an[g_end].rev == ai.rev &&
+               an[g_end].rid == ai.rid)
+          ++g_end;
+        ud.clear();
+        for (int j = g_start; j < g_end; ++j)
+          ud.push_back((int64_t)an[j].rpos - an[j].qpos);
+        std::sort(ud.begin(), ud.end());
+        ud.erase(std::unique(ud.begin(), ud.end()), ud.end());
+        dci.assign(g_end - g_start, 0);
+        for (int j = g_start; j < g_end; ++j)
+          dci[j - g_start] = (int32_t)(
+              std::lower_bound(ud.begin(), ud.end(),
+                               (int64_t)an[j].rpos - an[j].qpos) -
+              ud.begin());
+        tdl.init((int)ud.size());
+        tdr.init((int)ud.size());
+      }
+      int32_t best = ai.span;  // init = q_span
+      int32_t best_j = -1;
+      int lo_j = i - max_iter < 0 ? 0 : i - max_iter;
+      for (int j = i - 1; j >= lo_j; --j) {
+        const Anchor& aj = an[j];
+        if (aj.rev != ai.rev || aj.rid != ai.rid) break;  // group edge
+        int32_t dr = ai.rpos - aj.rpos;
+        if (dr > max_dist_x) break;  // sorted rpos: all earlier worse
+        int32_t dq = ai.qpos - aj.qpos;
+        if (dq <= 0 || dq > max_dist_x || dq > max_dist_y) continue;
+        if (dr <= 0) continue;
+        int32_t dd = dr > dq ? dr - dq : dq - dr;
+        if (dd > bw) continue;
+        int32_t dg = dr < dq ? dr : dq;
+        int32_t sc = dg < aj.span ? dg : aj.span;
+        if (dd != 0 || dg > aj.span) {
+          float lin = chn_pen_gap * (float)dd + chn_pen_skip * (float)dg;
+          float logp = dd >= 1 ? mg_log2f((float)(dd + 1)) : 0.0f;
+          if (is_splice && dr > dq)  // candidate intron: log-cost gap
+            sc -= (int32_t)(lin < logp ? lin : logp);
+          else
+            sc -= (int32_t)(lin + 0.5f * logp);
+        }
+        int32_t tot = f[j] + sc;
+        if (tot > best) {  // strictly greater: largest j wins ties
+          best = tot;
+          best_j = j;
+        }
+      }
+      if (use_rmq) {
+        // RMQ long-gap pass: best-first enumeration per side, exact
+        // re-score with the bw_long band.  The stored proxy is an
+        // UPPER BOUND on the exact join score (the log term, skip
+        // penalty and span saturation only subtract), so candidates
+        // are visited in decreasing-bound order and the search stops
+        // exactly when the bound can no longer beat `best` — invalid
+        // candidates (dq <= 0, dq > max_dist) split the range at
+        // their diagonal and the search continues instead of
+        // shadowing valid lower-proxy anchors (VERDICT r2 weak #5).
+        int64_t di = (int64_t)ai.rpos - ai.qpos;
+        int ci = dci[i - g_start];
+        auto eval = [&](int32_t j) {
+          if (j < 0 || j == best_j) return;
+          const Anchor& aj = an[j];
+          int32_t dr = ai.rpos - aj.rpos;
+          int32_t dq = ai.qpos - aj.qpos;
+          if (dq <= 0 || dq > max_dist_x || dq > max_dist_y) return;
+          if (dr <= 0) return;
+          int32_t dd = dr > dq ? dr - dq : dq - dr;
+          if (dd > bw_long) return;
+          int32_t dg = dr < dq ? dr : dq;
+          int32_t sc = dg < aj.span ? dg : aj.span;
+          if (dd != 0 || dg > aj.span) {
+            float lin =
+                chn_pen_gap * (float)dd + chn_pen_skip * (float)dg;
+            float logp = dd >= 1 ? mg_log2f((float)(dd + 1)) : 0.0f;
+            if (is_splice && dr > dq)
+              sc -= (int32_t)(lin < logp ? lin : logp);
+            else
+              sc -= (int32_t)(lin + 0.5f * logp);
+          }
+          int32_t tot = f[j] + sc;
+          if (tot > best) {
+            best = tot;
+            best_j = j;
+          }
+        };
+        const double pdi = (double)chn_pen_gap * (double)di;
+        for (int side = 0; side < 2; ++side) {
+          int lo_c, hi_c;
+          if (side == 0) {
+            lo_c = (int)(std::lower_bound(ud.begin(), ud.end(),
+                                          di - bw_long) -
+                         ud.begin());
+            hi_c = ci;
+          } else {
+            lo_c = ci;
+            hi_c = (int)(std::upper_bound(ud.begin(), ud.end(),
+                                          di + bw_long) -
+                         ud.begin()) - 1;
+          }
+          if (lo_c > hi_c) continue;
+          const DiagTree& td = side == 0 ? tdl : tdr;
+          // bound on the exact score given a stored proxy v:
+          //   side 0: v - pen*di    side 1: v + pen*di
+          const double boff = side == 0 ? -pdi : pdi;
+          // best-first over subranges (value, lo, hi), bounded
+          std::priority_queue<std::tuple<double, int, int>> pq;
+          {
+            auto q0 = td.query(lo_c, hi_c);
+            if (q0.second >= 0)
+              pq.push({q0.first, lo_c, hi_c});
+          }
+          for (int tries = 0; tries < 8 && !pq.empty(); ++tries) {
+            auto [v, l, r] = pq.top();
+            pq.pop();
+            if (v + boff <= (double)best) break;  // bound: done
+            auto qres = td.query(l, r);
+            int32_t j = qres.second;
+            if (j < 0) continue;
+            int leaf = dci[j - g_start];
+            eval(j);
+            // same-diagonal runner-up (top-2 leaf store)
+            eval(td.li2[leaf]);
+            if (leaf > l) {
+              auto ql = td.query(l, leaf - 1);
+              if (ql.second >= 0) pq.push({ql.first, l, leaf - 1});
+            }
+            if (leaf < r) {
+              auto qr = td.query(leaf + 1, r);
+              if (qr.second >= 0) pq.push({qr.first, leaf + 1, r});
+            }
+          }
+        }
+      }
+      f[i] = best;
+      p[i] = best_j;
+      if (use_rmq) {
+        int ci = dci[i - g_start];
+        double base = (double)best + ai.span;
+        double pd = (double)chn_pen_gap *
+                    ((double)ai.rpos - (double)ai.qpos);
+        tdl.update(ci, base + pd, i);
+        tdr.update(ci, base - pd, i);
+      }
+    }
+}
 
 }  // namespace
 
@@ -403,124 +589,8 @@ void front_end_batch(
     });
 
     // ---- chaining DP (mm_chain_dp recurrence) ----
-    f.assign(n, 0);
-    p.assign(n, -1);
-    DiagTree tdl, tdr;          // RMQ long-join trees (per group)
-    std::vector<int64_t> ud;    // unique diagonals in current group
-    std::vector<int32_t> dci;   // compressed diag index per anchor
-    int g_start = 0, g_end = 0;
-    for (int i = 0; i < n; ++i) {
-      const Anchor& ai = an[i];
-      if (use_rmq && i >= g_end) {
-        // new (rev, rid) anchor group: compress its diagonals and
-        // reset the long-join trees
-        g_start = i;
-        g_end = i + 1;
-        while (g_end < n && an[g_end].rev == ai.rev &&
-               an[g_end].rid == ai.rid)
-          ++g_end;
-        ud.clear();
-        for (int j = g_start; j < g_end; ++j)
-          ud.push_back((int64_t)an[j].rpos - an[j].qpos);
-        std::sort(ud.begin(), ud.end());
-        ud.erase(std::unique(ud.begin(), ud.end()), ud.end());
-        dci.assign(g_end - g_start, 0);
-        for (int j = g_start; j < g_end; ++j)
-          dci[j - g_start] = (int32_t)(
-              std::lower_bound(ud.begin(), ud.end(),
-                               (int64_t)an[j].rpos - an[j].qpos) -
-              ud.begin());
-        tdl.init((int)ud.size());
-        tdr.init((int)ud.size());
-      }
-      int32_t best = ai.span;  // init = q_span
-      int32_t best_j = -1;
-      int lo_j = i - max_iter < 0 ? 0 : i - max_iter;
-      for (int j = i - 1; j >= lo_j; --j) {
-        const Anchor& aj = an[j];
-        if (aj.rev != ai.rev || aj.rid != ai.rid) break;  // group edge
-        int32_t dr = ai.rpos - aj.rpos;
-        if (dr > max_dist_x) break;  // sorted rpos: all earlier worse
-        int32_t dq = ai.qpos - aj.qpos;
-        if (dq <= 0 || dq > max_dist_x || dq > max_dist_y) continue;
-        if (dr <= 0) continue;
-        int32_t dd = dr > dq ? dr - dq : dq - dr;
-        if (dd > bw) continue;
-        int32_t dg = dr < dq ? dr : dq;
-        int32_t sc = dg < aj.span ? dg : aj.span;
-        if (dd != 0 || dg > aj.span) {
-          float lin = chn_pen_gap * (float)dd + chn_pen_skip * (float)dg;
-          float logp = dd >= 1 ? mg_log2f((float)(dd + 1)) : 0.0f;
-          if (is_splice && dr > dq)  // candidate intron: log-cost gap
-            sc -= (int32_t)(lin < logp ? lin : logp);
-          else
-            sc -= (int32_t)(lin + 0.5f * logp);
-        }
-        int32_t tot = f[j] + sc;
-        if (tot > best) {  // strictly greater: largest j wins ties
-          best = tot;
-          best_j = j;
-        }
-      }
-      if (use_rmq) {
-        // RMQ long-gap pass: one candidate per diagonal side, exact
-        // re-score with the bw_long band (see DiagTree above)
-        int64_t di = (int64_t)ai.rpos - ai.qpos;
-        int ci = dci[i - g_start];
-        for (int side = 0; side < 2; ++side) {
-          int lo_c, hi_c;
-          if (side == 0) {
-            lo_c = (int)(std::lower_bound(ud.begin(), ud.end(),
-                                          di - bw_long) -
-                         ud.begin());
-            hi_c = ci;
-          } else {
-            lo_c = ci;
-            hi_c = (int)(std::upper_bound(ud.begin(), ud.end(),
-                                          di + bw_long) -
-                         ud.begin()) - 1;
-          }
-          if (lo_c > hi_c) continue;
-          auto qres = side == 0 ? tdl.query(lo_c, hi_c)
-                                : tdr.query(lo_c, hi_c);
-          int32_t j = qres.second;
-          if (j < 0 || j == best_j) continue;
-          const Anchor& aj = an[j];
-          int32_t dr = ai.rpos - aj.rpos;
-          int32_t dq = ai.qpos - aj.qpos;
-          if (dq <= 0 || dq > max_dist_x || dq > max_dist_y) continue;
-          if (dr <= 0) continue;
-          int32_t dd = dr > dq ? dr - dq : dq - dr;
-          if (dd > bw_long) continue;
-          int32_t dg = dr < dq ? dr : dq;
-          int32_t sc = dg < aj.span ? dg : aj.span;
-          if (dd != 0 || dg > aj.span) {
-            float lin =
-                chn_pen_gap * (float)dd + chn_pen_skip * (float)dg;
-            float logp = dd >= 1 ? mg_log2f((float)(dd + 1)) : 0.0f;
-            if (is_splice && dr > dq)
-              sc -= (int32_t)(lin < logp ? lin : logp);
-            else
-              sc -= (int32_t)(lin + 0.5f * logp);
-          }
-          int32_t tot = f[j] + sc;
-          if (tot > best) {
-            best = tot;
-            best_j = j;
-          }
-        }
-      }
-      f[i] = best;
-      p[i] = best_j;
-      if (use_rmq) {
-        int ci = dci[i - g_start];
-        double base = (double)best + ai.span;
-        double pd = (double)chn_pen_gap *
-                    ((double)ai.rpos - (double)ai.qpos);
-        tdl.update(ci, base + pd, i);
-        tdr.update(ci, base - pd, i);
-      }
-    }
+    chain_dp(an, f, p, max_dist_x, max_dist_y, bw, chn_pen_gap,
+             chn_pen_skip, max_iter, bw_long, use_rmq, is_splice);
 
     // ---- greedy backtrack (mm_chain_backtrack) ----
     std::vector<int32_t> cand;
@@ -649,6 +719,32 @@ void backtrack_compact_batch(const int32_t* meta, const int32_t* rpos,
         ++n_out;
       }
     }
+  }
+}
+
+// Test hook: run the chaining DP (incl. the RMQ long-gap pass) over a
+// RAW anchor array supplied by the caller — lets adversarial tests
+// construct exact anchor layouts (e.g. the RMQ shadowing cases in
+// tests/test_rmq_chain.py) without reverse-engineering a genome that
+// sketches into them.  Anchors must already be sorted by
+// (rev, rid, rpos, qpos), the production order.
+void chain_dp_anchors(const int32_t* rev, const int32_t* rid,
+                      const int32_t* rpos, const int32_t* qpos,
+                      const int32_t* span, int32_t n,
+                      int32_t max_dist_x, int32_t max_dist_y,
+                      int32_t bw, float chn_pen_gap, float chn_pen_skip,
+                      int32_t max_iter, int32_t bw_long,
+                      int32_t use_rmq, int32_t is_splice,
+                      int32_t* f_out, int32_t* p_out) {
+  std::vector<Anchor> an((size_t)n);
+  for (int i = 0; i < n; ++i)
+    an[i] = Anchor{rev[i], rid[i], rpos[i], qpos[i], span[i]};
+  std::vector<int32_t> f, p;
+  chain_dp(an, f, p, max_dist_x, max_dist_y, bw, chn_pen_gap,
+           chn_pen_skip, max_iter, bw_long, use_rmq, is_splice);
+  for (int i = 0; i < n; ++i) {
+    f_out[i] = f[i];
+    p_out[i] = p[i];
   }
 }
 

@@ -27,36 +27,46 @@ _I32 = jnp.int32
 _U32 = jnp.uint32
 
 
-def _lower_bound_2key(key_hi, key_lo, q_hi, q_lo, n_pad: int):
+def _lower_bound_2key(key_hi, key_lo, q_hi, q_lo, n_pad: int,
+                      keys32: bool = False):
     """Branchless lower_bound of (q_hi,q_lo) rows in sorted (key_hi,key_lo).
 
-    key arrays are padded to n_pad (power of two) with 0xFFFFFFFF
+    key arrays are padded to n_pad (any 128-multiple) with 0xFFFFFFFF
     sentinels.  Returns int32 indices with the shape of q_hi.
+    With ``keys32`` (every key < 2^32, k <= 16) the hi word is elided:
+    only key_lo is gathered/compared — half the HBM traffic per round.
     """
     steps = max(n_pad - 1, 1).bit_length()
-    lo = jnp.zeros_like(q_hi, dtype=_I32)
+    lo = jnp.zeros_like(q_lo, dtype=_I32)
     hi = jnp.full_like(lo, n_pad)
     for _ in range(steps + 1):
         mid = (lo + hi) >> 1
-        mh = key_hi[mid]
         ml = key_lo[mid]
-        less = (mh < q_hi) | ((mh == q_hi) & (ml < q_lo))
+        if keys32:
+            less = ml < q_lo
+        else:
+            mh = key_hi[mid]
+            less = (mh < q_hi) | ((mh == q_hi) & (ml < q_lo))
         lo = jnp.where(less, mid + 1, lo)
         hi = jnp.where(less, hi, mid)
     return lo
 
 
-def _lower_bound_2key_ranged(key_hi, key_lo, q_hi, q_lo, lo, hi, rounds):
+def _lower_bound_2key_ranged(key_hi, key_lo, q_hi, q_lo, lo, hi, rounds,
+                             keys32: bool = False):
     """Branchless lower_bound restricted to per-query [lo, hi) ranges
     (the bucket directory's contiguous slice of the sorted key array).
     `rounds` must be >= ceil(log2(max range width)); gathers per query
     drop from 2*log2(n_keys) to 2*(rounds+1) + 2 directory reads."""
-    n_pad = key_hi.shape[0]
+    n_pad = key_lo.shape[0]
     for _ in range(rounds + 1):
         mid = jnp.minimum((lo + hi) >> 1, n_pad - 1)
-        mh = key_hi[mid]
         ml = key_lo[mid]
-        less = (mh < q_hi) | ((mh == q_hi) & (ml < q_lo))
+        if keys32:
+            less = ml < q_lo
+        else:
+            mh = key_hi[mid]
+            less = (mh < q_hi) | ((mh == q_hi) & (ml < q_lo))
         lo = jnp.where(less, mid + 1, lo)
         hi = jnp.where(less, hi, mid)
     return lo
@@ -157,6 +167,7 @@ def _searchsorted_rows(prefix, targets):
     static_argnames=(
         "max_anchors", "span", "q_occ_frac", "bucket_bits",
         "bucket_rounds", "bucket_shift", "occ_dist", "max_max_occ",
+        "keys32",
     ),
 )
 def collect_anchors(
@@ -179,6 +190,7 @@ def collect_anchors(
     bucket_shift: int = 0,
     occ_dist: int = 0,
     max_max_occ: int = 0,
+    keys32: bool | None = None,
 ):
     """Expand query minimizers into sorted anchors.
 
@@ -194,7 +206,11 @@ def collect_anchors(
     """
     q_hi, q_lo = mins["key_hi"], mins["key_lo"]
     B, M = q_hi.shape
-    n_pad = key_hi.shape[0]
+    n_pad = key_lo.shape[0]
+    if keys32 is None:
+        # infer from the (static) array shapes: a keys32 DeviceIndex
+        # ships a dummy 8-element hi word (see index.DeviceIndex)
+        keys32 = key_hi.shape[0] != key_lo.shape[0]
 
     if bucket_start is not None and bucket_bits > 0:
         # bucket id = key64 >> bucket_shift (see DeviceIndex); invalid
@@ -211,16 +227,20 @@ def collect_anchors(
         idx = _lower_bound_2key_ranged(
             key_hi, key_lo, q_hi, q_lo,
             bucket_start[b], bucket_start[b + 1], bucket_rounds,
+            keys32=keys32,
         )
     else:
-        idx = _lower_bound_2key(key_hi, key_lo, q_hi, q_lo, n_pad)
+        idx = _lower_bound_2key(
+            key_hi, key_lo, q_hi, q_lo, n_pad, keys32=keys32
+        )
     idx_c = jnp.minimum(idx, n_pad - 1)
     found = (
         (idx < n_keys)
-        & (key_hi[idx_c] == q_hi)
         & (key_lo[idx_c] == q_lo)
         & (mins["pos"] >= 0)
     )
+    if not keys32:
+        found &= key_hi[idx_c] == q_hi
     cnt_raw = jnp.where(found, counts[idx_c], 0)
     # seed occurrence filter (mm_mapopt_update's mid_occ, SURVEY §2b N4)
     if occ_dist > 0 and max_max_occ > 0:

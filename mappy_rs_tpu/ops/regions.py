@@ -155,7 +155,7 @@ def regions_from_compact(
     regions: List[Region] = []
     # one C-speed conversion of the whole block to python ints beats
     # ~15 numpy-scalar __int__ calls per surviving row (hot: per read)
-    for row in rows.tolist():
+    for row in np.asarray(rows).tolist():
         sc = row[0]
         if sc < 0:
             continue

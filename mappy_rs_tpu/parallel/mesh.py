@@ -35,9 +35,10 @@ from ..ops.sketch import sketch_compact
 
 P = jax.sharding.PartitionSpec
 
-#: right-edge overlap of each reference block (bases): every score-only
-#: extension window (TWIN = L + ext_window) must fit inside the owning
-#: block, so ref sharding supports reads up to REF_OVERLAP - ext_window
+#: kept for backwards compatibility with round-1/2 callers; the
+#: contig-range reference sharding below no longer caps read length
+#: (extension windows live entirely inside the owning shard's contig
+#: row, so there is no cross-block overlap to outgrow).
 REF_OVERLAP = 8192
 
 
@@ -114,26 +115,58 @@ def shard_index_by_key_range(
         pos_rid[s, : pos_widths[s]] = pos_rid_shards[s]
         pos_ps[s, : pos_widths[s]] = pos_ps_shards[s]
     # the packed reference is SHARDED too (GRCh38-scale indexes don't
-    # fit replicated): n contiguous blocks with a REF_OVERLAP right
-    # margin so any extension window starting inside a block fits in
-    # it; the owning shard computes the extension and the result is
-    # merged with one tiny pmax over the "index" axis.
-    ref_pad = ((len(index.ref_codes) + 127) // 128 + 1) * 128
-    blk = ((ref_pad + n_shards - 1) // n_shards + 127) // 128 * 128
-    total = n_shards * blk + REF_OVERLAP
-    ref = np.full(total, 4, np.uint8)
-    ref[: len(index.ref_codes)] = index.ref_codes
-    ref_blocks = np.empty((n_shards, blk + REF_OVERLAP), np.uint8)
-    for s in range(n_shards):
-        ref_blocks[s] = ref[s * blk : s * blk + blk + REF_OVERLAP]
-    # seq_offsets rides to device as int32: past 2^31 bp the
-    # concatenated-reference coordinates (diag_start, ext_end_t) would
-    # silently wrap.  Refuse until per-shard offset rebasing lands.
-    if int(index.seq_offsets[-1]) >= 2**31:
+    # fit replicated): CONTIG-RANGE blocks — each shard owns a
+    # contiguous rid range, concatenated with PER-SHARD LOCAL offsets.
+    # All device coordinates stay per-shard int32, so the total
+    # reference length is unbounded (only a single contig is capped at
+    # 2^31 bp, minimap2's own limit), and extension windows never
+    # cross a shard boundary (a window lives inside one contig).
+    seq_lens = index.seq_lens.astype(np.int64)
+    n_seq = len(seq_lens)
+    if n_seq and int(seq_lens.max()) >= 2**31:
         raise OverflowError(
-            "total reference length exceeds 2^31 bp; int32 device "
-            "offsets would overflow in the sharded map step"
+            "a single contig exceeds 2^31 bp; per-contig device "
+            "coordinates (and minimap2 itself) cap contigs at 2^31"
         )
+    # greedy contiguous partition of contigs into n_shards bins,
+    # balanced by total length
+    total_len = int(seq_lens.sum())
+    target = total_len / max(n_shards, 1)
+    rid_bounds = [0]
+    acc = 0
+    for rid in range(n_seq):
+        acc += int(seq_lens[rid])
+        if (acc >= target * len(rid_bounds)
+                and len(rid_bounds) < n_shards):
+            rid_bounds.append(rid + 1)
+    while len(rid_bounds) < n_shards:
+        rid_bounds.append(n_seq)
+    rid_bounds.append(n_seq)
+    rid2shard = np.zeros(max(n_seq, 1), np.int32)
+    loc_off = np.zeros(max(n_seq, 1), np.int32)
+    shard_lens = []
+    for s in range(n_shards):
+        a, b = rid_bounds[s], rid_bounds[s + 1]
+        rid2shard[a:b] = s
+        off = 0
+        for rid in range(a, b):
+            loc_off[rid] = off
+            off += int(seq_lens[rid])
+        shard_lens.append(off)
+    blk = max((max(shard_lens) + 127) // 128 * 128 + 128, 256)
+    if blk >= 2**31:
+        raise OverflowError(
+            "a contig-range shard exceeds 2^31 bp; use more index "
+            "shards so each shard's contigs fit int32 offsets"
+        )
+    ref_blocks = np.full((n_shards, blk), 4, np.uint8)
+    offs64 = index.seq_offsets  # int64 [n_seq+1], host only
+    for s in range(n_shards):
+        a, b = rid_bounds[s], rid_bounds[s + 1]
+        if b > a:
+            lo = int(offs64[a])
+            hi = int(offs64[b])
+            ref_blocks[s, : hi - lo] = index.ref_codes[lo:hi]
     return {
         "key_hi": key_hi,
         "key_lo": key_lo,
@@ -142,8 +175,9 @@ def shard_index_by_key_range(
         "n_keys": n_keys,
         "pos_rid": pos_rid,
         "pos_ps": pos_ps,
-        "ref_blocks": ref_blocks,  # [n_shards, blk + REF_OVERLAP]
-        "seq_offsets": index.seq_offsets.astype(np.int32)[:-1],
+        "ref_blocks": ref_blocks,  # [n_shards, blk] contig-range rows
+        "rid2shard": rid2shard,    # int32 [n_seq] replicated
+        "loc_off": loc_off,        # int32 [n_seq] shard-local offsets
     }
 
 
@@ -170,13 +204,15 @@ def build_sharded_map_step(
     where does this read map, with what confidence) — the CIGAR path
     additionally runs traceback host-side.
 
-    The reference is sharded into contiguous blocks over the "index"
+    The reference is sharded into CONTIG-RANGE blocks over the "index"
     axis (shard_index_by_key_range "ref_blocks"); the shard owning a
-    read's extension window computes it and the scalar results merge
+    read's contig computes its extension and the scalar results merge
     with a pmax — nothing reference-sized is ever replicated, which is
-    what makes GRCh38-scale multi-host layouts fit.  `ref_len_pad`
-    (the unsharded padded reference length) bounds window starts; 0
-    derives it from the block shapes (includes the tail padding).
+    what makes GRCh38-scale multi-host layouts fit, and every device
+    coordinate is shard-local int32, so total reference length is
+    unbounded (>2^31 bp included).  Returned ``ext_end_t`` is the
+    extension end PER CONTIG.  `ref_len_pad` is accepted for
+    backwards compatibility and ignored.
     """
     A_loc = max_anchors
 
@@ -189,7 +225,7 @@ def build_sharded_map_step(
         n_keys = sh["n_keys"][0]
         pos_rid = sh["pos_rid"][0]
         pos_ps = sh["pos_ps"][0]
-        ref_block = sh["ref_blocks"][0]  # [blk + REF_OVERLAP] local
+        ref_block = sh["ref_blocks"][0]  # [blk] this shard's contigs
 
         mins = sketch_compact(codes, lens, k, w, max_minimizers)
         loc = collect_anchors(
@@ -240,28 +276,29 @@ def build_sharded_map_step(
         # score-only banded extension of the whole read against a ref
         # window on the best chain's diagonal.  The merged anchors (and
         # so the best chain and its window) are identical on every
-        # "index" peer of a data row; only the peer whose reference
-        # block CONTAINS the window computes a real extension, and the
-        # two scalars per read merge with a pmax over "index" (tiny
-        # ICI/DCN traffic instead of a replicated reference).
+        # "index" peer of a data row; only the peer whose CONTIG-RANGE
+        # reference shard contains the best chain's contig computes a
+        # real extension, and the two scalars per read merge with a
+        # pmax over "index" (tiny ICI/DCN traffic instead of a
+        # replicated reference).  All addressing is shard-local int32:
+        # owner = rid2shard[rid], window start = loc_off[rid] + the
+        # per-contig diagonal — no concatenated-reference coordinate
+        # exists on device, so total reference length is unbounded.
         L = codes.shape[1]
         W = ext_window
         TWIN = L + W
-        if TWIN > REF_OVERLAP:
+        blk = ref_block.shape[0]
+        if TWIN > blk:
             raise ValueError(
-                f"extension window {TWIN} exceeds REF_OVERLAP "
-                f"{REF_OVERLAP}; reads this long need a larger overlap"
+                f"extension window {TWIN} exceeds the reference shard "
+                f"width {blk}"
             )
-        blk = ref_block.shape[0] - REF_OVERLAP
-        n_idx = mesh.shape["index"]
-        bound = (ref_len_pad if ref_len_pad > 0
-                 else n_idx * blk + REF_OVERLAP)
-        # global concatenated-ref offset of query position 0
-        diag_start = sh["seq_offsets"][best_rid] + best_rpos - best_qpos
-        start = jnp.clip(diag_start - W // 2, 0, max(bound - TWIN, 0))
-        owner = start // blk
+        # shard-local offset of query position 0 on the best diagonal
+        diag_start = sh["loc_off"][best_rid] + best_rpos - best_qpos
+        start = jnp.clip(diag_start - W // 2, 0, blk - TWIN)
+        owner = sh["rid2shard"][best_rid]
         mine = owner == jax.lax.axis_index("index")
-        local_off = jnp.clip(start - owner * blk, 0, blk + REF_OVERLAP - TWIN)
+        local_off = start
         twin = jax.vmap(
             lambda s: jax.lax.dynamic_slice_in_dim(ref_block, s, TWIN)
         )(local_off)
@@ -279,8 +316,10 @@ def build_sharded_map_step(
         ext_sc = jax.lax.pmax(
             jnp.where(mine, ext["best_sc"], neg), "index"
         )
+        # PER-CONTIG end coordinate (int32-safe at any genome size)
+        end_in_ctg = start + ext["best_j"] + 1 - sh["loc_off"][best_rid]
         ext_end = jax.lax.pmax(
-            jnp.where(mine, start + ext["best_j"] + 1, neg), "index"
+            jnp.where(mine, end_in_ctg, neg), "index"
         )
         return {
             "chain_score": best_score,
@@ -300,7 +339,8 @@ def build_sharded_map_step(
         "pos_rid": P("index", None),
         "pos_ps": P("index", None),
         "ref_blocks": P("index", None),
-        "seq_offsets": P(),
+        "rid2shard": P(),
+        "loc_off": P(),
     }
     out_spec = P("data")
     step = jax.jit(

@@ -122,5 +122,6 @@ def shard_specs_for_index() -> Dict[str, P]:
         "pos_rid": P("index", None),
         "pos_ps": P("index", None),
         "ref_blocks": P("index", None),
-        "seq_offsets": P(),
+        "rid2shard": P(),
+        "loc_off": P(),
     }

@@ -110,9 +110,14 @@ def test_rep_len_matches_scalar_union():
         )
         rep = np.asarray(got["rep_len"])
         # scalar oracle: union of [en-span, en) for occ-filtered slots
-        keys = np.asarray(dev.key_hi), np.asarray(dev.key_lo)
-        counts = np.asarray(dev.counts)
-        khi, klo = keys
+        # (keys from the HOST index — dev.key_hi is a dummy when the
+        # index is in keys32 mode)
+        keys64 = idx.keys
+        khi = (keys64 >> np.uint64(32)).astype(np.uint32)
+        klo = (keys64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        counts = (idx.key_offsets[1:] - idx.key_offsets[:-1]).astype(
+            np.int64
+        )
         B, Mm = mins_np["pos"].shape
         for b in range(B):
             rep_st = rep_en = 0

@@ -30,24 +30,21 @@ def test_index_key_range_sharding_roundtrip():
         int(sh["counts"][s][: int(sh["n_keys"][s])].sum()) for s in range(4)
     )
     assert total == len(idx.positions)
-    # the packed reference is sharded into overlapped blocks, not
-    # replicated: blocks reassemble to the reference, and each shard
-    # holds ~1/4 of it (+ the fixed REF_OVERLAP margin)
-    from mappy_rs_tpu.parallel.mesh import REF_OVERLAP
-
-    blk = sh["ref_blocks"].shape[1] - REF_OVERLAP
-    assert blk * 4 >= len(idx.ref_codes)
-    recat = np.concatenate([sh["ref_blocks"][s][:blk] for s in range(4)])
-    assert np.array_equal(
-        recat[: len(idx.ref_codes)], idx.ref_codes
-    )
-    for s in range(4):
-        lo = s * blk
-        span = min(blk + REF_OVERLAP, len(idx.ref_codes) - lo)
-        if span > 0:
-            assert np.array_equal(
-                sh["ref_blocks"][s][:span], idx.ref_codes[lo : lo + span]
-            )
+    # the packed reference is sharded into CONTIG-RANGE rows, not
+    # replicated: every contig appears once, in its owning shard row
+    # at its shard-local offset, byte-identical to the concatenated
+    # reference slice
+    offs = idx.seq_offsets
+    for rid in range(idx.n_seq):
+        s = int(sh["rid2shard"][rid])
+        lo = int(sh["loc_off"][rid])
+        ln = int(idx.seq_lens[rid])
+        assert np.array_equal(
+            sh["ref_blocks"][s][lo : lo + ln],
+            idx.ref_codes[int(offs[rid]) : int(offs[rid]) + ln],
+        )
+    # contig ranges are contiguous in rid order
+    assert (np.diff(sh["rid2shard"]) >= 0).all()
 
 
 def test_map_batch_positions_sharded():
@@ -160,15 +157,18 @@ def test_readfish_microbatch_decisions():
     assert len(al._sharded_steps) == 1  # one L bucket -> one compile
 
 
-def test_sharding_refuses_int32_overflow_reference():
-    """References past 2^31 bp must refuse loudly (int32 device
-    coordinates would silently wrap — ADVICE r1 medium)."""
+def test_sharding_refuses_single_contig_over_int32():
+    """A SINGLE contig past 2^31 bp must refuse loudly (per-contig
+    int32 device coordinates would wrap; minimap2 has the same cap).
+    Multi-contig references past 2^31 bp TOTAL are supported — the
+    contig-range sharding keeps every device offset shard-local
+    (covered end-to-end by tests/test_big_genome.py)."""
     from mappy_rs_tpu.index.build import load_or_build
     from mappy_rs_tpu.parallel.mesh import shard_index_by_key_range
 
     idx = load_or_build("/root/reference/resources/test/test.mmi")
-    object.__setattr__(
-        idx, "_seq_offsets_cache", np.array([0, 2**31], np.int64)
-    )
+    fake_lens = idx.seq_lens.copy().astype(np.int64)
+    fake_lens[0] = 2**31
+    object.__setattr__(idx, "seq_lens", fake_lens)
     with pytest.raises(OverflowError):
         shard_index_by_key_range(idx, 2)
