@@ -39,7 +39,16 @@ import numpy as np
 
 FALLBACK_BASELINE = 1000.0  # only if the native CPU path is unavailable
 
-GENOME_LEN = 32_000_000
+# Genome scale is configurable (VERDICT r3 directive 1): the default
+# headline stays 32 Mbp; `--genome-mb=300` (or BENCH_GENOME_MB=300)
+# runs the >=300 Mbp configuration in-env (index ~55M keys; child
+# uploads grow with it, so the large run is for scale evidence, not
+# the per-round driver capture).
+GENOME_MB = int(os.environ.get("BENCH_GENOME_MB", "32"))
+for _a in sys.argv[1:]:
+    if _a.startswith("--genome-mb="):
+        GENOME_MB = int(_a.split("=", 1)[1])
+GENOME_LEN = GENOME_MB * 1_000_000
 N_READS = 4000
 N_READS_CPU = 1500
 READ_LEN = 1000
@@ -112,7 +121,8 @@ def main() -> None:
     for attempt, tmo in enumerate((1200, 900, 600)):
         try:
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--once"],
+                [sys.executable, os.path.abspath(__file__), "--once"]
+                + [a for a in sys.argv[1:] if a.startswith("--genome")],
                 timeout=tmo,
             )
             if proc.returncode == 0:
@@ -126,7 +136,7 @@ def main() -> None:
     raise SystemExit(1)
 
 
-def _measure(al, payloads, truth, n_warm=256):
+def _measure(al, payloads, truth, n_warm=256, reset_after_warm=False):
     """Best-of-N timed passes, one DISJOINT fresh payload per pass
     (both the CPU baseline and the TPU path get the same treatment).
     Multiple passes damp the shared dev backend's large run-to-run
@@ -136,7 +146,12 @@ def _measure(al, payloads, truth, n_warm=256):
     reads measures cache residency, not mapping throughput."""
     for _ in al.map_batch(payloads[0][:n_warm]):
         pass
+    if reset_after_warm:
+        # stage metrics from here on are STEADY STATE (no compile,
+        # no index upload, no cache load) — VERDICT r2 weak #2
+        al.reset_metrics()
     best = None
+    wall = 0.0
     for payload in payloads:
         n_correct = 0
         n_hit = 0
@@ -148,10 +163,11 @@ def _measure(al, payloads, truth, n_warm=256):
                 if abs(m.target_start - truth[data["i"]]) < 100:
                     n_correct += 1
         dt = time.time() - t0
+        wall += dt
         cand = (len(payload) / dt, dt, n_hit, n_correct)
         if best is None or cand[0] > best[0]:
             best = cand
-    return best
+    return best + (wall,)
 
 
 def _run() -> None:
@@ -188,7 +204,7 @@ def _run() -> None:
             al_cpu._engine.cfg.extension_backend = "host"
             al_cpu._engine.cfg.worker_processes = n_procs
             al_cpu.enable_threading(n_cpu)
-            r, _dt, _hit, ok = _measure(al_cpu, cpu_payloads, truth)
+            r, _dt, _hit, ok, _w = _measure(al_cpu, cpu_payloads, truth)
             al_cpu.enable_threading(0)
             al_cpu = None
             mode = f"{n_procs} procs" if n_procs else f"{n_cpu} threads"
@@ -213,7 +229,12 @@ def _run() -> None:
     # index upload + compile-cache load (the in-run warm pass feeds
     # through the shared queue and can leave slow children cold)
     al.warmup(reads[:256])
-    rps, dt, n_hit, n_correct = _measure(al, payloads, truth)
+    rps, dt, n_hit, n_correct, wall = _measure(
+        al, payloads, truth, reset_after_warm=True
+    )
+    # steady-state device-pipeline seconds per front-end batch, from a
+    # warm child (device execution + link; no host stages)
+    probe = al.probe_front_end(10)
 
     print(
         json.dumps(
@@ -226,19 +247,42 @@ def _run() -> None:
         )
     )
     m = al.metrics
+    n_procs = int(m.get("worker_procs", 0)) or 1
+    # stage timers are cpu-seconds summed over every worker process
+    # and thread; the per-process view is what compares to wall time
+    fe = m.get("time_front_end_s", 0.0)
+    ext = m.get("time_extend_s", 0.0) + m.get("time_extend_small_s", 0.0)
+    fin = m.get("time_finalize_s", 0.0)
+    duty_line = ""
+    if probe:
+        ms_batch = 1000 * float(np.median(probe))
+        batches = m.get("fe_batches", 0.0)
+        # demand-based duty estimate: total device-pipeline time the
+        # measured passes dispatched / their wall time, one chip
+        duty = (batches * ms_batch / 1000.0) / max(wall, 1e-9)
+        chain_cps = m.get("chain_cells", 0.0) / max(
+            batches * ms_batch / 1000.0, 1e-9
+        )
+        duty_line = (
+            f"# device: {ms_batch:.1f}ms/batch (median of {len(probe)} "
+            f"solo probes), {batches:.0f} batches dispatched -> "
+            f"duty~{100 * duty:.0f}% of the {wall:.2f}s measured wall; "
+            f"chain-DP ~{chain_cps:.2e} cells/s on-device\n"
+        )
     print(
         f"# {baseline_note}\n"
         f"# vs_baseline uses the MEASURED same-hardware CPU aligner "
         f"(BASELINE.md's 32-thread host is not measurable on this "
-        f"{n_cpu}-core box); round-1 driver capture was 814.4 reads/s "
-        f"on a 1Mbp cache-resident genome -> this run = "
-        f"{rps / 814.4:.2f}x that headline at 32x the genome scale\n"
+        f"{n_cpu}-core box)\n"
         f"# accuracy: {n_correct}/{N_READS} within 100bp of truth; "
         f"mapped {n_hit}/{N_READS} reads in {dt:.2f}s "
-        f"({READ_LEN}bp, {ERROR_RATE:.0%} err, {GENOME_LEN/1e6:.0f}Mbp ref); "
-        f"dp_cells/s={m.get('dp_cells_per_sec', 0):.3e} "
-        f"stage_times: front_end={m.get('time_front_end_s', 0)}s "
-        f"extend={m.get('time_extend_s', 0)}s",
+        f"({READ_LEN}bp, {ERROR_RATE:.0%} err, {GENOME_LEN/1e6:.0f}Mbp ref)\n"
+        f"{duty_line}"
+        f"# steady-state stage cpu-seconds over {n_procs} procs "
+        f"(per-proc ~= /{n_procs}; measured wall {wall:.2f}s for "
+        f"{3 * N_READS} reads): front_end={fe:.2f} extend={ext:.2f} "
+        f"finalize={fin:.2f}; host dp_cells/s="
+        f"{m.get('dp_cells_per_sec', 0):.3e}",
         file=sys.stderr,
     )
 

@@ -328,7 +328,30 @@ class Aligner:
             t_ext = snap.get("time_extend_s", 0.0)
             if cells and t_ext:
                 snap["dp_cells_per_sec"] = cells / t_ext
+            # stage timings above are CPU-SECONDS summed across all
+            # worker processes and their threads, not wall time; the
+            # divisor for a per-process view travels with the snapshot
+            snap["worker_procs"] = self._procs.n_procs
         return snap
+
+    def probe_front_end(self, n: int = 10) -> list:
+        """Steady-state device front-end seconds per batch (device
+        execution + link, no host stages): re-dispatches the last
+        batch n times, blocking on each.  In multi-process mode the
+        probe runs in a warm child.  Feeds chip-duty estimates."""
+        if self._procs is not None:
+            return self._procs.probe_front_end(n)
+        return self._engine.probe_front_end(n)
+
+    def reset_metrics(self) -> None:
+        """Zero all engine counters/timers, including every worker
+        process's.  Call after warmup() to make subsequent metrics
+        reflect STEADY-STATE mapping only — without this, stage times
+        include each child's one-time compile-cache load and device
+        index upload and are useless for optimization decisions."""
+        self._engine.metrics.reset()
+        if self._procs is not None:
+            self._procs.reset_metrics()
 
     # --- introspection (lib.rs:438-459, 650-670) -----------------------
     def __bool__(self) -> bool:

@@ -456,6 +456,18 @@ class AlignmentEngine:
                 self.dev.bucket_rounds,
                 self.dev.bucket_shift,
             )
+            self.metrics.add("fe_batches", 1)
+            self.metrics.add("fe_reads", len(chunk))
+            # device chain-kernel cell updates this dispatch (the DP
+            # the chip actually runs: B anchors x window predecessors)
+            self.metrics.add(
+                "chain_cells",
+                float(B) * A * (
+                    self.cfg.pallas_chain_window
+                    if jax.default_backend() == "tpu"
+                    else self.cfg.chain_window * 2
+                ),
+            )
             with self.metrics.timer("front_end"):
                 if use_bt:
                     od, mmo = self._seed_select_params()
@@ -479,6 +491,25 @@ class AlignmentEngine:
                         pass
                 else:
                     handles = self._fe_dispatch(fe_args, packed=pack)
+
+            def _replay(use_bt=use_bt, fe_args=fe_args, pack=pack,
+                        bt_cuts=bt_cuts):
+                if use_bt:
+                    od2, mmo2 = self._seed_select_params()
+                    return _front_end_bt(
+                        *fe_args[:23], self.cfg.backtrack_k, bt_cuts,
+                        self.opt.min_cnt, self.opt.min_chain_score,
+                        bucket_bits=fe_args[23],
+                        bucket_rounds=fe_args[24],
+                        bucket_shift=fe_args[25],
+                        pallas_window=self.cfg.pallas_chain_window,
+                        occ_dist=od2, max_max_occ=mmo2, packed=pack,
+                        keys32=self.dev.keys32,
+                    )
+                return self._fe_dispatch(fe_args, packed=pack)
+
+            # kept for probe_front_end (steady-state device ms/batch)
+            self._probe_dispatch = _replay
             return chunk, lens, handles
 
         def stage_process(state):
@@ -820,6 +851,25 @@ class AlignmentEngine:
             done = [r for r in done if r.dp_score >= min_dp]
             done.sort(key=lambda r: (r.parent != r.id, -r.dp_score))
             out[ri] = done
+
+    def probe_front_end(self, n: int = 10) -> List[float]:
+        """Re-dispatch the LAST front-end batch n times, blocking on
+        each — measures steady-state device-pipeline seconds per batch
+        (device execution + link transfer, no host stages).  Feeds the
+        bench's chip-duty estimate; [] until a batch has run."""
+        replay = getattr(self, "_probe_dispatch", None)
+        if replay is None:
+            return []
+        import time as _time
+
+        import jax
+
+        out = []
+        for _ in range(n):
+            t0 = _time.perf_counter()
+            jax.block_until_ready(replay())
+            out.append(_time.perf_counter() - t0)
+        return out
 
     def _bt_enabled(self) -> bool:
         mode = self.cfg.device_backtrack
@@ -1435,6 +1485,16 @@ class AlignmentEngine:
         then the per-read set_parent/set_mapq tails.  Per-read native
         calls were the dominant host cost at high read rates (ctypes
         crossing + string buffer churn per read)."""
+        with self.metrics.timer("finalize"):
+            self._finalize_many_impl(groups, codes, cs, md)
+
+    def _finalize_many_impl(
+        self,
+        groups: List[Tuple[int, List[Region], int]],
+        codes: List[np.ndarray],
+        cs: bool,
+        md: bool,
+    ) -> None:
         from .. import native
 
         ref = self.index.ref_codes
