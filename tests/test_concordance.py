@@ -1,5 +1,5 @@
 """Cross-engine mapping concordance (BASELINE.json's >=95% hit-tuple
-concordance bar, VERDICT r1 weak #7/next #8).
+concordance bar; VERDICT r2 next #5: preset sweep at scale).
 
 No mappy/minimap2 binary exists in this environment and the network is
 sealed, so an external oracle cannot be vendored.  The strongest
@@ -7,7 +7,7 @@ available substitute is cross-checking the two INDEPENDENTLY
 IMPLEMENTED aligner paths in this package against each other on a
 realistic mixed workload:
 
-  * device front end — JAX/Pallas: mask-formulated sketch, binary-seach
+  * device front end — JAX/Pallas: mask-formulated sketch, binary-search
     seed lookup, windowed max-plus chain kernel (ops/).
   * CPU front end — scalar C++: rolling sketch, lower_bound lookup,
     minimap2-style O(n*max_iter) chain DP (native/front_end.cc).
@@ -20,108 +20,39 @@ paths feed the same extension engine, which is itself verified
 bit-identical across its three implementations (test_extend.py,
 test_simd_band.py).
 
-The reference reaches mm_map through FFI on every .map()
-(/root/reference/src/lib.rs:339); this is the parity check for the
-whole front half of that call.
+The sweep logic lives in tools/concordance.py; published numbers at
+N=1000 per preset are in CONCORDANCE.md (regenerate with
+``python tools/concordance.py 1000``).  CI runs N=250 per preset to
+keep the suite bounded — same workloads, same bars.
 """
-import numpy as np
+import os
+import sys
+
 import pytest
 
-import mappy_rs_tpu
 from mappy_rs_tpu import native
 
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+)
+from tools.concordance import PRESET_WORKLOADS, run_preset  # noqa: E402
 
-def _mixed_genome(rng):
-    """150kb genome with an interspersed 1.2kb repeat family (8 copies,
-    ~3% diverged) so some reads are repeat-dense — the regime where
-    chain/mapq decisions are hardest."""
-    base = rng.choice(list("ACGT"), size=150_000)
-    unit = rng.choice(list("ACGT"), size=1200)
-    for c in range(8):
-        start = 12_000 + c * 17_000
-        copy = unit.copy()
-        muts = rng.integers(0, 1200, size=36)
-        copy[muts] = [rng.choice(list("ACGT")) for _ in muts]
-        base[start : start + 1200] = copy
-    return "".join(base)
-
-
-def _simulate(rng, genome, n):
-    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
-    reads = []
-    for i in range(n):
-        length = int(rng.choice([420, 800, 1500, 2600]))
-        err = float(rng.choice([0.0, 0.03, 0.08]))
-        start = int(rng.integers(0, len(genome) - length))
-        s = []
-        j = start
-        while j < start + length:
-            r = rng.random()
-            if r < err * 0.6:
-                s.append(rng.choice([c for c in "ACGT" if c != genome[j]]))
-                j += 1
-            elif r < err * 0.8:
-                s.append(genome[j])
-                s.append(str(rng.choice(list("ACGT"))))
-                j += 1
-            elif r < err:
-                j += 2
-            else:
-                s.append(genome[j])
-                j += 1
-        read = "".join(s)
-        if rng.random() < 0.5:
-            read = "".join(comp[c] for c in reversed(read))
-        reads.append(read)
-    return reads
-
-
-def _tuples(hits):
-    return [
-        (m.ctg, m.r_st, m.r_en, m.q_st, m.q_en, m.strand,
-         m.cigar_str, m.NM, m.mapq, m.is_primary)
-        for m in hits
-    ]
+N_PER_PRESET = 250
 
 
 @pytest.mark.skipif(not native.available(), reason="native lib needed")
-def test_device_vs_cpu_front_end_concordance(tmp_path):
-    rng = np.random.default_rng(21)
-    genome = _mixed_genome(rng)
-    fa = tmp_path / "g.fa"
-    fa.write_text(f">chr\n{genome}\n")
-    reads = _simulate(rng, genome, 120)
-
-    al_dev = mappy_rs_tpu.Aligner(str(fa), preset="map-ont")
-    al_cpu = mappy_rs_tpu.Aligner(str(fa), preset="map-ont")
-    al_cpu._engine.cfg.front_end_backend = "cpu"
-    al_cpu._engine.cfg.extension_backend = "host"
-    al_dev._engine.cfg.extension_backend = "host"
-
-    hits_dev = [al_dev.map(r) for r in reads]
-    hits_cpu = [al_cpu.map(r) for r in reads]
-
-    full = coords = both_mapped = 0
-    diffs = []
-    for i, (hd, hc) in enumerate(zip(hits_dev, hits_cpu)):
-        td, tc = _tuples(hd), _tuples(hc)
-        if not td and not tc:
-            continue
-        both_mapped += 1
-        if td and tc and td[0][:6] == tc[0][:6]:
-            coords += 1
-        if td == tc:
-            full += 1
-        else:
-            diffs.append((i, td[:1], tc[:1]))
-    assert both_mapped >= 115, f"only {both_mapped}/120 mapped"
-    # BASELINE.json bar: >=95% hit-tuple concordance.  Two independent
-    # implementations, full tuples incl. CIGAR/NM/mapq/primary:
-    assert full >= 0.95 * both_mapped, (
-        f"full-tuple concordance {full}/{both_mapped}; "
-        f"first diffs: {diffs[:3]}"
+@pytest.mark.parametrize("preset", list(PRESET_WORKLOADS))
+def test_front_end_concordance(preset):
+    s = run_preset(preset, N_PER_PRESET)
+    # essentially everything should map on both sides
+    assert s["both_mapped"] >= 0.93 * N_PER_PRESET, s
+    assert s["one_side_only"] <= 0.02 * N_PER_PRESET, s
+    # BASELINE.json bar: >=95% full hit-tuple concordance
+    assert s["full"] >= 0.95 * s["both_mapped"], (
+        f"{preset}: full-tuple {s['full']}/{s['both_mapped']}; "
+        f"first diffs: {s['diffs'][:2]}"
     )
-    assert coords >= 0.98 * both_mapped, (
-        f"coordinate concordance {coords}/{both_mapped}; "
-        f"first diffs: {diffs[:3]}"
+    assert s["coords"] >= 0.98 * s["both_mapped"], (
+        f"{preset}: coords {s['coords']}/{s['both_mapped']}; "
+        f"first diffs: {s['diffs'][:2]}"
     )

@@ -98,21 +98,46 @@ def main():
     print(f"sketch+lookup+chain:{t*1e3:5.1f} ms", flush=True)
 
     bt_cuts = min(8, L // eng.SEG_LEN)
-    fe_args = (
-        cb, lb, lb, None, None, None,
-        dev.key_hi, dev.key_lo, dev.offsets, dev.counts,
-        dev.pos_rid, dev.pos_ps, dev.bucket_start,
-        jnp.int32(dev.n_keys), jnp.int32(eng.opt.mid_occ),
-        k, w, M, A, cp, eng.cfg.chain_window, True, qof,
-    )
-    t = bench_call(lambda: _front_end_bt(
-        *fe_args, eng.cfg.backtrack_k, bt_cuts,
-        eng.opt.min_cnt, eng.opt.min_chain_score,
-        bucket_bits=dev.bucket_bits, bucket_rounds=dev.bucket_rounds,
-        bucket_shift=dev.bucket_shift,
-        pallas_window=eng.cfg.pallas_chain_window,
-    ))
-    print(f"full bt front end: {t*1e3:6.1f} ms", flush=True)
+    for B2 in (256, 512, 1024):
+        batch2 = np.full((B2, L), 4, np.uint8)
+        lens2 = np.zeros(B2, np.int32)
+        for bi in range(B2):
+            c = codes[bi % len(codes)]
+            batch2[bi, : len(c)] = c
+            lens2[bi] = len(c)
+        cb2, lb2 = jnp.asarray(batch2), jnp.asarray(lens2)
+        fe_args = (
+            cb2, lb2, lb2, None, None, None,
+            dev.key_hi, dev.key_lo, dev.offsets, dev.counts,
+            dev.pos_rid, dev.pos_ps, dev.bucket_start,
+            jnp.int32(dev.n_keys), jnp.int32(eng.opt.mid_occ),
+            k, w, M, A, cp, eng.cfg.chain_window, True, qof,
+        )
+
+        def run(cb2=cb2, lb2=lb2, fe_args=fe_args):
+            return _front_end_bt(
+                *fe_args, eng.cfg.backtrack_k, bt_cuts,
+                eng.opt.min_cnt, eng.opt.min_chain_score,
+                bucket_bits=dev.bucket_bits,
+                bucket_rounds=dev.bucket_rounds,
+                bucket_shift=dev.bucket_shift,
+                pallas_window=eng.cfg.pallas_chain_window,
+                keys32=dev.keys32,
+            )
+
+        t = bench_call(run)
+        print(f"full bt front end  B={B2:5d}: {t*1e3:6.1f} ms "
+              f"({B2/t:,.0f} reads/s pipelined)", flush=True)
+        # blocking device_get of the compact chain table (the link leg)
+        h = run()
+        jax.block_until_ready(h)
+        t0 = time.time()
+        for _ in range(5):
+            jax.device_get(h)
+        tg = (time.time() - t0) / 5
+        nbytes = sum(np.asarray(x).nbytes for x in jax.device_get(h))
+        print(f"  device_get: {tg*1e3:6.1f} ms for {nbytes/1e3:.0f} KB",
+              flush=True)
 
 
 if __name__ == "__main__":
