@@ -256,7 +256,12 @@ class AlignerConfig:
 
     # --- TPU runtime knobs (no analogue in the reference; tuned here) ---
     # max reads per device batch in the streaming map_batch pipeline
-    device_batch_size: int = 256
+    # (overridable with MAPPY_RS_TPU_BATCH for deployment tuning)
+    device_batch_size: int = field(
+        default_factory=lambda: int(
+            os.environ.get("MAPPY_RS_TPU_BATCH", "256")
+        )
+    )
     # length buckets for padding variable-length reads (powers-of-two-ish)
     length_buckets: tuple[int, ...] = (512, 1024, 2048, 8192, 32768, 131072)
     # per-read anchor capacity per bucket (scaled with length)
@@ -323,8 +328,13 @@ class AlignerConfig:
     )
     # reads drained per proxy dispatch in multi-process mode: 2x the
     # device batch so each child's internal software pipeline overlaps
-    # its own device and host stages
-    proc_chunk: int = 512
+    # its own device and host stages.  Overridable with
+    # MAPPY_RS_TPU_PROC_CHUNK for deployment tuning.
+    proc_chunk: int = field(
+        default_factory=lambda: int(
+            os.environ.get("MAPPY_RS_TPU_PROC_CHUNK", "512")
+        )
+    )
     # pad every device batch to the one full [B, L] shape instead of
     # compiling a second tiny [8, L] graph (set in proc children where
     # trailing chunks are frequent and compiles are per-process)

@@ -205,8 +205,12 @@ class MinimizerIndex:
         pos_rid[:m] = (self.positions >> np.uint64(32)).astype(np.int32)
         pos_ps[:m] = (self.positions & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         log2 = max(n_pad - 1, 1).bit_length()
-        # bucket directory over the sorted keys (see DeviceIndex)
-        bb = min(max(max(n, 1).bit_length() - 4, 6), 24, max(eff, 1))
+        # bucket directory over the sorted keys (see DeviceIndex).
+        # ~1 key/bucket on average: the ranged binary search is a
+        # sequentially dependent gather chain, so halving the rounds
+        # (vs the old n/16 sizing) is worth the 4x directory (4B per
+        # bucket; 33MB at 32Mbp, capped 64MB at GRCh38 scale).
+        bb = min(max(max(n, 1).bit_length(), 6), 24, max(eff, 1))
         shift = max(eff - bb, 0)
         b_of_key = (self.keys >> np.uint64(shift)).astype(np.int64)
         bcnts = np.bincount(b_of_key, minlength=1 << bb)

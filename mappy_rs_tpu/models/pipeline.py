@@ -563,14 +563,22 @@ class AlignmentEngine:
             self._run_split_rounds(read_regions, codes)
             self._finish_reads(read_regions, codes, out, cs, md)
 
-        pending = None
+        # software pipeline, depth 3: up to TWO dispatched batches in
+        # flight while one is processed on host.  Depth 2 left bubbles
+        # on the tunnel-attached chip: blocking round-trip latency
+        # (~47ms) is ~2x the pipelined batch time (~23ms), so jitter
+        # stalled the chip whenever exactly one batch was in flight.
+        from collections import deque
+
+        pending = deque()
         for chunk_start in range(0, B_real, B):
-            nxt = stage_dispatch(idxs[chunk_start : chunk_start + B])
-            if pending is not None:
-                stage_process(pending)
-            pending = nxt
-        if pending is not None:
-            stage_process(pending)
+            pending.append(
+                stage_dispatch(idxs[chunk_start : chunk_start + B])
+            )
+            if len(pending) >= 3:
+                stage_process(pending.popleft())
+        while pending:
+            stage_process(pending.popleft())
 
         if overflow_reads and a_boost < 16:
             # reads whose seed hits overflowed the A budget were mapped
@@ -853,10 +861,11 @@ class AlignmentEngine:
             out[ri] = done
 
     def probe_front_end(self, n: int = 10) -> List[float]:
-        """Re-dispatch the LAST front-end batch n times, blocking on
-        each — measures steady-state device-pipeline seconds per batch
-        (device execution + link transfer, no host stages).  Feeds the
-        bench's chip-duty estimate; [] until a batch has run."""
+        """Measure steady-state front-end seconds per batch by
+        re-dispatching the LAST batch: [0] = PIPELINED throughput
+        (n dispatches in flight / n — the chip-occupancy number),
+        [1] = blocking round-trip latency of one dispatch (includes
+        the full link RTT).  [] until a batch has run."""
         replay = getattr(self, "_probe_dispatch", None)
         if replay is None:
             return []
@@ -864,12 +873,14 @@ class AlignmentEngine:
 
         import jax
 
-        out = []
-        for _ in range(n):
-            t0 = _time.perf_counter()
-            jax.block_until_ready(replay())
-            out.append(_time.perf_counter() - t0)
-        return out
+        jax.block_until_ready(replay())  # warm
+        t0 = _time.perf_counter()
+        jax.block_until_ready([replay() for _ in range(n)])
+        thr = (_time.perf_counter() - t0) / n
+        t0 = _time.perf_counter()
+        jax.block_until_ready(replay())
+        lat = _time.perf_counter() - t0
+        return [thr, lat]
 
     def _bt_enabled(self) -> bool:
         mode = self.cfg.device_backtrack

@@ -162,6 +162,25 @@ def _searchsorted_rows(prefix, targets):
     return lo
 
 
+def _slot_sources(prefix, cnt, n_slots: int):
+    """For each anchor slot a in [0, n_slots): the index m of the
+    minimizer whose hit range [prefix[m], prefix[m+1]) contains a.
+
+    Scatter-then-cummax formulation: scatter each nonempty minimizer's
+    index at its START slot, then a forward running max fills its
+    range.  One scatter + one cumulative max — measured 2.4x faster on
+    TPU than the 9-round binary `_searchsorted_rows` (the rounds are a
+    sequentially dependent chain of 2-D gathers; trial_lookup2.py)."""
+    B, M = cnt.shape
+    starts = prefix[:, :-1]
+    m_iota = jnp.broadcast_to(jnp.arange(M, dtype=_I32)[None, :], (B, M))
+    grid = jnp.full((B, n_slots), -1, _I32)
+    grid = grid.at[
+        jnp.arange(B, dtype=_I32)[:, None], starts
+    ].max(jnp.where(cnt > 0, m_iota, -1), mode="drop")
+    return jnp.maximum(jax.lax.cummax(grid, axis=1), 0)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -224,9 +243,13 @@ def collect_anchors(
         else:
             b_u = (q_lo >> _U32(s)) | (q_hi << _U32(32 - s))
         b = jnp.minimum(b_u, _U32((1 << bucket_bits) - 1)).astype(_I32)
+        # ONE gather for both bucket bounds (adjacent directory slots;
+        # separate bucket_start[b] / [b+1] gathers each pay the full
+        # per-op gather cost on TPU)
+        bs2 = bucket_start[b[:, :, None] + jnp.arange(2, dtype=_I32)]
         idx = _lower_bound_2key_ranged(
             key_hi, key_lo, q_hi, q_lo,
-            bucket_start[b], bucket_start[b + 1], bucket_rounds,
+            bs2[..., 0], bs2[..., 1], bucket_rounds,
             keys32=keys32,
         )
     else:
@@ -325,25 +348,33 @@ def collect_anchors(
 
     A = max_anchors
     slots = jnp.broadcast_to(jnp.arange(A, dtype=_I32)[None, :], (B, A))
-    src = _searchsorted_rows(prefix, slots)  # minimizer slot per anchor
+    src = _slot_sources(prefix, cnt, A)  # minimizer slot per anchor
     rows = jnp.arange(B, dtype=_I32)[:, None]
     a_valid = slots < n_anchors[:, None]
-    hit_off = slots - prefix[rows, src]
-    pos_idx = jnp.where(a_valid, off[rows, src] + hit_off, 0)
+    # per-minimizer metadata consumed at anchor slots, STACKED so one
+    # row-gather fetches all five fields (five separate [B, A] gathers
+    # each paid the full per-op gather cost on TPU)
+    span_col = (
+        mins["span"].astype(_I32) if "span" in mins
+        else jnp.full_like(mins["pos"], span)
+    )
+    meta = jnp.stack(
+        [prefix[:, :-1], off, mins["pos"],
+         mins["strand"].astype(_I32), span_col], axis=-1
+    )  # [B, M, 5]
+    mrow = meta[rows, src]  # [B, A, 5]
+    hit_off = slots - mrow[..., 0]
+    pos_idx = jnp.where(a_valid, mrow[..., 1] + hit_off, 0)
 
     rid = pos_rid[pos_idx]
     ps = pos_ps[pos_idx]
     rpos = (ps >> _U32(1)).astype(_I32)
     rstrand = (ps & _U32(1)).astype(jnp.uint8)
 
-    q_pos = mins["pos"][rows, src]
-    q_strand = mins["strand"][rows, src]
-    q_span = (
-        mins["span"][rows, src].astype(_I32)
-        if "span" in mins
-        else jnp.full_like(q_pos, span)
-    )
-    rev = (q_strand ^ rstrand).astype(_I32)
+    q_pos = mrow[..., 2]
+    q_strand = mrow[..., 3]
+    q_span = mrow[..., 4]
+    rev = q_strand ^ rstrand.astype(_I32)
     qpos = jnp.where(
         rev == 0,
         q_pos,
