@@ -102,6 +102,22 @@ def _load() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         ]
     )
+    lib.extend_jobs_batch.argtypes = (
+        [
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ]
+        + [np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")] * 4
+        + [ctypes.c_int] * 10
+        + [
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ]
+    )
     for fname in ("gen_cs_native", "gen_md_native"):
         fn = getattr(lib, fname)
         fn.restype = ctypes.c_int64
@@ -647,6 +663,65 @@ def splice_align_batch(
         res.append(
             (out_ops[j, :n].copy(), int(out_info[j, 0]),
              int(out_info[j, 1]), int(out_info[j, 2]))
+        )
+    return res
+
+
+def extend_jobs_batch(
+    q_list,  # list of uint8 arrays (views OK; reversed views OK)
+    t_list,
+    Wv: np.ndarray,     # int32 [J] per-job band width
+    modev: np.ndarray,  # int32 [J] per-job mode (0/1/2)
+    params,
+    end_bonus: int,
+    zdrop: int = 0,
+    max_ops: int = 0,
+):
+    """One C++ call for a whole heterogeneous job batch: per-job band
+    width and mode over CONCATENATED buffers — replaces the per-shape
+    padded-group staging (the numpy padding loops were ~0.08 ms/read).
+    Returns per-job (packed ops, score, q_consumed, t_consumed,
+    zdropped), or None if the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    J = len(q_list)
+    qlen = np.fromiter((len(x) for x in q_list), np.int32, J)
+    tlen = np.fromiter((len(x) for x in t_list), np.int32, J)
+    q_off = np.zeros(J + 1, np.int64)
+    np.cumsum(qlen, out=q_off[1:])
+    t_off = np.zeros(J + 1, np.int64)
+    np.cumsum(tlen, out=t_off[1:])
+    q_concat = (
+        np.concatenate(q_list) if int(q_off[-1]) else np.zeros(1, np.uint8)
+    )
+    t_concat = (
+        np.concatenate(t_list) if int(t_off[-1]) else np.zeros(1, np.uint8)
+    )
+    if max_ops <= 0:
+        max_ops = 2 * (int(qlen.max(initial=0)) + int(tlen.max(initial=0))) + 8
+    out_ops = np.zeros((J, max_ops), np.int32)
+    out_n = np.zeros(J, np.int32)
+    out_info = np.zeros((J, 4), np.int32)
+    lib.extend_jobs_batch(
+        np.ascontiguousarray(q_concat), q_off,
+        np.ascontiguousarray(t_concat), t_off,
+        qlen, tlen,
+        np.ascontiguousarray(Wv, np.int32),
+        np.ascontiguousarray(modev, np.int32),
+        J, params.a, params.b, params.q, params.e, params.q2, params.e2,
+        params.sc_ambi, end_bonus, zdrop,
+        out_ops.reshape(-1), out_n, max_ops, out_info.reshape(-1),
+    )
+    res = []
+    for j in range(J):
+        n = int(out_n[j])
+        if n < 0:
+            return None
+        res.append(
+            (out_ops[j, :n].copy(), int(out_info[j, 0]),
+             int(out_info[j, 1]), int(out_info[j, 2]),
+             int(out_info[j, 3]))
         )
     return res
 

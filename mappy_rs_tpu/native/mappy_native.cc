@@ -1012,23 +1012,24 @@ extern "C" {
 // contend with the front end for the chip — see CONTRIBUTING.md).
 // Band fill dispatches to an AVX-512BW int16 path when the job's
 // score range provably fits (simd_fits); scalar otherwise.
-void extend_banded_batch(const uint8_t* qs, const uint8_t* ts,
-                         const int32_t* qlen, const int32_t* tlen,
-                         int J, int QSTRIDE, int TSTRIDE, int W,
-                         int a, int b, int gq, int ge, int gq2, int ge2,
-                         int sc_ambi, int end_bonus, int mode, int zdrop,
-                         int32_t* out_ops, int32_t* out_n, int max_ops,
-                         int32_t* out_info) {
+// One banded extension job: band fill (AVX-512 int16 when the
+// score range provably fits, scalar otherwise) + traceback.
+// Shared by extend_banded_batch (uniform W/mode) and
+// extend_jobs_batch (per-job W/mode over concatenated buffers).
+static void extend_one_job(
+    const uint8_t* q, const uint8_t* t, int Q_, int T_, int W,
+    int a, int b, int gq, int ge, int gq2, int ge2, int sc_ambi,
+    int end_bonus, int mode, int zdrop,
+    int32_t* ops_out, int32_t* out_n1, int max_ops,
+    int32_t* out_info4) {
   const int32_t NEGI = NEGI_BAND;
-  for (int job = 0; job < J; ++job) {
-    int Q = qlen[job], T = tlen[job];
-    const uint8_t* q = qs + (int64_t)job * QSTRIDE;
-    const uint8_t* t = ts + (int64_t)job * TSTRIDE;
-    int32_t* ops = out_ops + (int64_t)job * max_ops;
-    int32_t* info = out_info + (int64_t)job * 4;
-    out_n[job] = 0;
+  {
+    int Q = Q_, T = T_;
+    int32_t* ops = ops_out;
+    int32_t* info = out_info4;
+    (*out_n1) = 0;
     info[0] = info[1] = info[2] = info[3] = 0;
-    if (Q <= 0 || T <= 0) continue;
+    if (Q <= 0 || T <= 0) return;
     int S = Q + T - 1;
     // reusable per-thread dir buffer: the AVX-512 fill writes every
     // walkable lane itself (no zero-init needed); the scalar fill
@@ -1074,17 +1075,17 @@ void extend_banded_batch(const uint8_t* qs, const uint8_t* ts,
         si = Q - 1; sj = T - 1; sc = end_sc;
         dropped = false;
       } else {
-        continue;
+        return;
       }
       info[3] = dropped ? 1 : 0;
     } else if (mode == 0) {
       si = Q - 1; sj = T - 1; sc = end_sc;
-      if (end_sc <= NEGI / 2) continue;  // end cell unreachable in band
+      if (end_sc <= NEGI / 2) return;  // end cell unreachable in band
     } else {
       bool use_end = g_sc > NEGI / 2 && g_sc + end_bonus >= best_sc;
       if (use_end && g_sc > 0) { si = Q - 1; sj = g_j; sc = g_sc; }
       else if (best_sc > 0) { si = best_i; sj = best_j; sc = best_sc; }
-      else continue;
+      else return;
     }
     int n_ops = 0;
     bool overflow = false;
@@ -1117,12 +1118,49 @@ void extend_banded_batch(const uint8_t* qs, const uint8_t* ts,
     if (i >= 0) emit(1, i + 1);
     if (j >= 0) emit(2, j + 1);
     for (int x = 0, y = n_ops - 1; x < y; ++x, --y) std::swap(ops[x], ops[y]);
-    out_n[job] = overflow ? -1 : n_ops;
+    (*out_n1) = overflow ? -1 : n_ops;
     info[0] = sc;
     info[1] = si + 1;
     info[2] = sj + 1;
   }
 }
+
+void extend_banded_batch(const uint8_t* qs, const uint8_t* ts,
+                         const int32_t* qlen, const int32_t* tlen,
+                         int J, int QSTRIDE, int TSTRIDE, int W,
+                         int a, int b, int gq, int ge, int gq2, int ge2,
+                         int sc_ambi, int end_bonus, int mode, int zdrop,
+                         int32_t* out_ops, int32_t* out_n, int max_ops,
+                         int32_t* out_info) {
+  for (int job = 0; job < J; ++job) {
+    extend_one_job(qs + (int64_t)job * QSTRIDE,
+                   ts + (int64_t)job * TSTRIDE, qlen[job], tlen[job],
+                   W, a, b, gq, ge, gq2, ge2, sc_ambi, end_bonus,
+                   mode, zdrop, out_ops + (int64_t)job * max_ops,
+                   out_n + job, max_ops, out_info + (int64_t)job * 4);
+  }
+}
+
+// Per-job band/mode over CONCATENATED job buffers: one call per
+// device batch, no host-side padding or shape grouping (the
+// padded-group staging was ~0.08 ms/read of numpy time).
+void extend_jobs_batch(const uint8_t* q_concat, const int64_t* q_off,
+                       const uint8_t* t_concat, const int64_t* t_off,
+                       const int32_t* qlen, const int32_t* tlen,
+                       const int32_t* Wv, const int32_t* modev,
+                       int J, int a, int b, int gq, int ge, int gq2,
+                       int ge2, int sc_ambi, int end_bonus, int zdrop,
+                       int32_t* out_ops, int32_t* out_n, int max_ops,
+                       int32_t* out_info) {
+  for (int job = 0; job < J; ++job) {
+    extend_one_job(q_concat + q_off[job], t_concat + t_off[job],
+                   qlen[job], tlen[job], Wv[job], a, b, gq, ge, gq2,
+                   ge2, sc_ambi, end_bonus, modev[job], zdrop,
+                   out_ops + (int64_t)job * max_ops, out_n + job,
+                   max_ops, out_info + (int64_t)job * 4);
+  }
+}
+
 
 // cs tag (short form), minimap2 mm_gen_cs semantics; ops are packed
 // len<<4|op.  Returns bytes written, or -1 if cap is too small.
