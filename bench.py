@@ -135,7 +135,11 @@ def main() -> None:
     if "--once" in sys.argv:
         _run()
         return
-    for attempt, tmo in enumerate((1200, 900, 600)):
+    # timeouts sized for: 2 CPU-baseline aligner builds + the TPU
+    # aligner's 4 serialized ~220MB child index uploads + congested-
+    # backend slack (a clean warm run is ~10-12 min; 1200s was
+    # observed too tight under congestion, 2026-08-19)
+    for attempt, tmo in enumerate((1800, 1500, 1200)):
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--once"]
@@ -244,10 +248,17 @@ def _run() -> None:
 
     # ---- TPU path (multi-process: N device pipelines, one chip) ----
     al = Aligner(seq=genome, preset="map-ont")
-    al._config.worker_processes = int(
-        os.environ.get("MAPPY_RS_TPU_PROCS", "4")
+    n_procs_tpu = int(os.environ.get("MAPPY_RS_TPU_PROCS", "4"))
+    al._config.worker_processes = n_procs_tpu
+    # tuned round 3 (tpu_trials/sweep_procs.py): 2 proxies per child
+    # keep 2 requests interleaved on each child's pipe (cross-chunk
+    # device pipelining), 1024-read chunks let the child's depth-3
+    # software pipeline fill (4 device batches per chunk).  Calm-epoch
+    # measurements: 8732 (512:4) -> 9291 (512:8) -> 10330 (1024:8).
+    al._config.proc_chunk = int(
+        os.environ.get("MAPPY_RS_TPU_PROC_CHUNK", "1024")
     )
-    al.enable_threading(4)
+    al.enable_threading(2 * n_procs_tpu)
     # one-time costs in EVERY worker process before timing: device
     # index upload + compile-cache load (the in-run warm pass feeds
     # through the shared queue and can leave slow children cold)

@@ -292,10 +292,13 @@ class AlignerConfig:
     # chain backtracking: "auto" | "on" | "off".  "on" runs the Mosaic
     # backtrack kernel (ops/backtrack_pallas.py) so only a compact
     # [B, K*FLD] chain summary crosses device->host instead of the full
-    # packed anchor stack; "off" backtracks on host from f/p.  "auto"
-    # currently resolves to off: measured on the dev v5e the kernel's
-    # sequential walk costs more device time than the transfer saved
-    # (see CONTRIBUTING.md) — "on" is for bandwidth-starved links.
+    # packed anchor stack; "off" backtracks on host (C++
+    # backtrack_compact_batch off the packed download, or the python
+    # walk) from f/p.  "auto" resolves to ON for TPU (see
+    # pipeline._bt_enabled): the kernel costs ~5ms/batch of device
+    # time but keeps the host free, and with host and chip ceilings
+    # matched at 4 workers the host is the scarcer resource; "off"
+    # suits hosts with many cores per chip.
     device_backtrack: str = "auto"
     # top-K chain candidate ends processed per read by the device
     # backtrack (the host path has no cap; select_sub keeps at most

@@ -30,7 +30,8 @@ def main() -> None:
     ).decode()
     reads, truth = simulate(rng, genome, 2 * N, READ_LEN, ERROR_RATE)
     payloads = [
-        [{"i": i, "seq": r} for i, r in enumerate(reads[p * N:(p + 1) * N])]
+        [{"i": p * N + i, "seq": r}
+         for i, r in enumerate(reads[p * N:(p + 1) * N])]
         for p in range(2)
     ]
     results = []
