@@ -13,20 +13,22 @@ ties the chip; at 32 Mbp (~5.9M keys, ~220MB of index arrays) seed
 lookup is memory-bound on the host — the regime the reference's own
 hg38 benchmark lives in, and where the device front end pulls ahead.
 
-Baseline (round-2 change; VERDICT r1 "weak #6"): the round-1 baseline
-was an ESTIMATE (1,000 reads/s for a 32-thread mappy-rs host).  This
-round measures a real minimap2-class CPU aligner on the same workload
-in the same process: this framework's own all-native CPU path
-(native/front_end.cc sketch+chain + C++ banded extension — the same
-architecture as the reference: scalar C per read under a worker pool),
-at ALL available cores.  NB: this host exposes only 4 CPUs (nproc),
-so the "32-thread host" framing of BASELINE.md is not measurable here;
-the baseline is CPU-at-full-host-parallelism on identical hardware.
+Baseline (VERDICT r1 "weak #6" / r3 weak #7): a real minimap2-class
+CPU aligner measured on the same workload on the same hardware — this
+framework's own all-native CPU path (native/front_end.cc sketch+chain
++ C++ banded extension, the reference's architecture: scalar C per
+read under a worker pool) at all host cores.  The measurement is
+PERSISTED to BASELINE_CPU.json (a dated artifact with the workload
+fingerprint) and reused, so the driver's capture does not re-pay the
+~3-minute baseline on every run; `--baseline` re-measures and
+refreshes the artifact.
 
 Prints ONE JSON line:
   {"metric": "reads/sec/chip", "value": N, "unit": "reads/s",
-   "vs_baseline": R}
-where vs_baseline = tpu_reads_per_sec / measured_cpu_reads_per_sec.
+   "vs_baseline": R, "passes": [...], "median": M,
+   "baseline": {"value": B, "date": D, ...}}
+where value = best pass, vs_baseline = value / measured_cpu_rps, and
+passes/median publish the run-to-run spread (VERDICT r3 weak #2).
 """
 from __future__ import annotations
 
@@ -58,6 +60,25 @@ N_READS = 8000
 N_READS_CPU = 1500
 READ_LEN = 1000
 ERROR_RATE = 0.05
+
+#: soft wall budget for the measured part of a single `--once` run:
+#: passes after the first stop once this is exceeded (the JSON must
+#: reach the driver; extra passes are spread data, not the record).
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "360"))
+BASELINE_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BASELINE_CPU.json"
+)
+
+
+def _workload_fp() -> dict:
+    """Fingerprint of the baseline workload: a persisted baseline is
+    only valid against the same workload."""
+    return {
+        "genome_mb": GENOME_MB,
+        "n_reads": N_READS_CPU,
+        "read_len": READ_LEN,
+        "error_rate": ERROR_RATE,
+    }
 
 
 def simulate(rng, genome: str, n: int, length: int, err: float):
@@ -122,6 +143,10 @@ def _enable_compile_cache() -> None:
         pass
 
 
+def _log(msg: str) -> None:
+    print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
 def main() -> None:
     """Run the measurement in a subprocess with a hard timeout and
     retry: the shared dev backend occasionally kills a run with a
@@ -129,21 +154,28 @@ def main() -> None:
     2026-08-17) or HANGS a device call outright (a 15-minute stall
     observed the same day) — and a missing JSON line costs the whole
     round's benchmark record.  Retries start against the warm
-    persistent compile cache, so they are cheap."""
+    persistent compile cache, so they are cheap.
+
+    Ladder sized for the driver (VERDICT r3 missing #1): the r3 ladder
+    (1800+1500+1200s) could spend 79 min before giving up — longer
+    than any plausible capture budget, so one congested epoch produced
+    NO record.  Now: 2 attempts capped so worst case stays inside
+    ~15 min; the persisted CPU baseline and warmup streamlining keep a
+    clean warm run well under one attempt."""
     import subprocess
 
+    passthru = [
+        a for a in sys.argv[1:]
+        if a.startswith("--genome") or a == "--baseline"
+    ]
     if "--once" in sys.argv:
         _run()
         return
-    # timeouts sized for: 2 CPU-baseline aligner builds + the TPU
-    # aligner's 4 serialized ~220MB child index uploads + congested-
-    # backend slack (a clean warm run is ~10-12 min; 1200s was
-    # observed too tight under congestion, 2026-08-19)
-    for attempt, tmo in enumerate((1800, 1500, 1200)):
+    for attempt, tmo in enumerate((450, 420)):
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--once"]
-                + [a for a in sys.argv[1:] if a.startswith("--genome")],
+                + passthru,
                 timeout=tmo,
             )
             if proc.returncode == 0:
@@ -153,25 +185,31 @@ def main() -> None:
         except subprocess.TimeoutExpired:
             print(f"# bench attempt {attempt + 1}: timed out after "
                   f"{tmo}s (backend stall)", file=sys.stderr)
-        time.sleep(45)
+        time.sleep(20)
     raise SystemExit(1)
 
 
-def _measure(al, payloads, truth, n_warm=256, reset_after_warm=False):
-    """Best-of-N timed passes, one DISJOINT fresh payload per pass
-    (both the CPU baseline and the TPU path get the same treatment).
-    Multiple passes damp the shared dev backend's large run-to-run
-    noise (same-code captures spanned 4391-5385 reads/s on
-    2026-08-18); disjoint reads per pass keep the repeat-a-read
-    page-cache artifact out of the number — a rerun of identical
-    reads measures cache residency, not mapping throughput."""
+def _measure(al, payloads, truth, n_warm=256, reset_after_warm=False,
+             deadline=None):
+    """Timed passes, one DISJOINT fresh payload per pass (both the CPU
+    baseline and the TPU path get the same treatment).  Multiple
+    passes damp the shared dev backend's large run-to-run noise
+    (same-code captures spanned 4391-5385 reads/s on 2026-08-18);
+    disjoint reads per pass keep the repeat-a-read page-cache artifact
+    out of the number — a rerun of identical reads measures cache
+    residency, not mapping throughput.  Passes after the first stop at
+    `deadline` (time.time() value): the record must reach the driver.
+
+    Returns (passes, best, wall) where passes is a list of
+    (reads_per_sec, dt, n_hit, n_correct) and best is the max-rps one.
+    """
     for _ in al.map_batch(payloads[0][:n_warm]):
         pass
     if reset_after_warm:
         # stage metrics from here on are STEADY STATE (no compile,
         # no index upload, no cache load) — VERDICT r2 weak #2
         al.reset_metrics()
-    best = None
+    passes = []
     wall = 0.0
     for payload in payloads:
         n_correct = 0
@@ -185,13 +223,63 @@ def _measure(al, payloads, truth, n_warm=256, reset_after_warm=False):
                     n_correct += 1
         dt = time.time() - t0
         wall += dt
-        cand = (len(payload) / dt, dt, n_hit, n_correct)
-        if best is None or cand[0] > best[0]:
-            best = cand
-    return best + (wall,)
+        passes.append((len(payload) / dt, dt, n_hit, n_correct))
+        if deadline is not None and time.time() > deadline:
+            _log(f"budget reached after {len(passes)} pass(es)")
+            break
+    best = max(passes, key=lambda p: p[0])
+    return passes, best, wall
+
+
+def _measure_cpu_baseline(genome, cpu_payloads, truth) -> dict:
+    """Measure the all-native CPU aligner at full host parallelism.
+
+    The CPU aligner gets the SAME runtime choices as the TPU path:
+    whichever of thread-mode / multi-process mode is faster for it
+    anchors vs_baseline (threads GIL-stall on the per-read python
+    glue; processes scale it — fairness demands the CPU side gets the
+    better of the two as well)."""
+    from mappy_rs_tpu import Aligner
+
+    n_cpu = os.cpu_count() or 4
+    cpu_rps = 0.0
+    cpu_desc = ""
+    for n_procs in (0, n_cpu):
+        al_cpu = Aligner(seq=genome, preset="map-ont")
+        al_cpu._engine.cfg.front_end_backend = "cpu"
+        al_cpu._engine.cfg.extension_backend = "host"
+        al_cpu._engine.cfg.worker_processes = n_procs
+        al_cpu.enable_threading(n_cpu)
+        _passes, best, _w = _measure(al_cpu, cpu_payloads, truth)
+        al_cpu.enable_threading(0)
+        al_cpu = None
+        r, _dt, _hit, ok = best
+        mode = f"{n_procs} procs" if n_procs else f"{n_cpu} threads"
+        if r > cpu_rps:
+            cpu_rps = r
+            cpu_desc = f"{mode}, {ok}/{len(cpu_payloads[0])} correct"
+    return {
+        "value": round(cpu_rps, 1),
+        "date": time.strftime("%Y-%m-%d"),
+        "desc": f"all-native CPU path, best of threads/procs ({cpu_desc})",
+        "n_cores": n_cpu,
+        "workload": _workload_fp(),
+    }
+
+
+def _load_baseline() -> dict | None:
+    try:
+        with open(BASELINE_FILE) as f:
+            d = json.load(f)
+        if d.get("workload") == _workload_fp() and d.get("value", 0) > 0:
+            return d
+    except Exception:  # noqa: BLE001 — missing/stale artifact: re-measure
+        pass
+    return None
 
 
 def _run() -> None:
+    t_start = time.time()
     _enable_compile_cache()
     from mappy_rs_tpu import Aligner, native
 
@@ -208,45 +296,46 @@ def _run() -> None:
     cpu_payloads = [
         payload[p * N_READS : p * N_READS + N_READS_CPU] for p in range(3)
     ]
+    _log(f"setup (genome + {3 * N_READS} simulated reads): "
+         f"{time.time() - t_start:.1f}s")
 
-    # ---- measured CPU baseline (all-native path, all host cores) ----
-    # the CPU aligner gets the SAME runtime choices as the TPU path:
-    # whichever of thread-mode / multi-process mode is faster for it
-    # anchors vs_baseline (threads GIL-stall on the per-read python
-    # glue; processes scale it — fairness demands the CPU side gets
-    # the better of the two as well)
-    n_cpu = os.cpu_count() or 4
-    if os.environ.get("BENCH_TPU_ONLY"):
-        # tuning loop: skip the ~3-minute CPU baseline re-measurement,
-        # pin the divisor at the last clean capture so vs_baseline
-        # stays comparable across quick runs
-        cpu_rps = float(os.environ.get("BENCH_CPU_RPS", "7335.0"))
-        baseline_note = f"pinned CPU baseline {cpu_rps:.1f} (tuning run)"
-    elif native.available():
-        cpu_rps = 0.0
-        cpu_desc = ""
-        for n_procs in (0, n_cpu):
-            al_cpu = Aligner(seq=genome, preset="map-ont")
-            al_cpu._engine.cfg.front_end_backend = "cpu"
-            al_cpu._engine.cfg.extension_backend = "host"
-            al_cpu._engine.cfg.worker_processes = n_procs
-            al_cpu.enable_threading(n_cpu)
-            r, _dt, _hit, ok, _w = _measure(al_cpu, cpu_payloads, truth)
-            al_cpu.enable_threading(0)
-            al_cpu = None
-            mode = f"{n_procs} procs" if n_procs else f"{n_cpu} threads"
-            if r > cpu_rps:
-                cpu_rps = r
-                cpu_desc = f"{mode}, {ok}/{N_READS_CPU} correct"
-        baseline_note = (
-            f"measured CPU baseline (best of threads/procs — "
-            f"{cpu_desc}): {cpu_rps:.1f} reads/s"
-        )
+    # ---- CPU baseline: persisted artifact, measured when absent ----
+    force_baseline = "--baseline" in sys.argv
+    baseline = None if force_baseline else _load_baseline()
+    if baseline is None:
+        if os.environ.get("BENCH_TPU_ONLY"):
+            # tuning loop with no artifact: pinned divisor
+            baseline = {
+                "value": float(os.environ.get("BENCH_CPU_RPS", "7181.0")),
+                "date": "pinned",
+                "desc": "BENCH_TPU_ONLY pinned divisor (tuning run)",
+                "workload": _workload_fp(),
+            }
+        elif native.available():
+            t0 = time.time()
+            baseline = _measure_cpu_baseline(genome, cpu_payloads, truth)
+            with open(BASELINE_FILE, "w") as f:
+                json.dump(baseline, f, indent=1)
+            _log(f"measured + persisted CPU baseline "
+                 f"{baseline['value']:.1f} reads/s "
+                 f"({time.time() - t0:.1f}s) -> {BASELINE_FILE}")
+        else:
+            baseline = {
+                "value": FALLBACK_BASELINE,
+                "date": "none",
+                "desc": "native lib unavailable; estimated baseline",
+                "workload": _workload_fp(),
+            }
     else:
-        cpu_rps = FALLBACK_BASELINE
-        baseline_note = "native lib unavailable; estimated baseline"
+        _log(f"CPU baseline from {BASELINE_FILE}: "
+             f"{baseline['value']:.1f} reads/s ({baseline['date']})")
+    cpu_rps = float(baseline["value"])
+    if force_baseline:
+        _log("baseline refresh done")
+        return
 
     # ---- TPU path (multi-process: N device pipelines, one chip) ----
+    t0 = time.time()
     al = Aligner(seq=genome, preset="map-ont")
     n_procs_tpu = int(os.environ.get("MAPPY_RS_TPU_PROCS", "4"))
     al._config.worker_processes = n_procs_tpu
@@ -258,13 +347,23 @@ def _run() -> None:
     al._config.proc_chunk = int(
         os.environ.get("MAPPY_RS_TPU_PROC_CHUNK", "1024")
     )
+    _log(f"index build: {time.time() - t0:.1f}s")
+    t0 = time.time()
     al.enable_threading(2 * n_procs_tpu)
     # one-time costs in EVERY worker process before timing: device
     # index upload + compile-cache load (the in-run warm pass feeds
     # through the shared queue and can leave slow children cold)
     al.warmup(reads[:256])
-    rps, dt, n_hit, n_correct, wall = _measure(
-        al, payloads, truth, reset_after_warm=True
+    _log(f"worker spawn + warmup: {time.time() - t0:.1f}s")
+    passes, best, wall = _measure(
+        al, payloads, truth, reset_after_warm=True,
+        deadline=t_start + BUDGET_S,
+    )
+    rps, dt, n_hit, n_correct = best
+    pass_rates = sorted(p[0] for p in passes)
+    median = pass_rates[len(pass_rates) // 2] if len(pass_rates) % 2 else (
+        0.5 * (pass_rates[len(pass_rates) // 2 - 1]
+               + pass_rates[len(pass_rates) // 2])
     )
     # steady-state device-pipeline seconds per front-end batch, from a
     # warm child (device execution + link; no host stages)
@@ -277,8 +376,16 @@ def _run() -> None:
                 "value": round(rps, 2),
                 "unit": "reads/s",
                 "vs_baseline": round(rps / cpu_rps, 3),
+                "passes": [round(p[0], 1) for p in passes],
+                "median": round(median, 1),
+                "baseline": {
+                    "value": cpu_rps,
+                    "date": baseline.get("date", "?"),
+                    "desc": baseline.get("desc", ""),
+                },
             }
-        )
+        ),
+        flush=True,
     )
     m = al.metrics
     n_procs = int(m.get("worker_procs", 0)) or 1
@@ -305,18 +412,24 @@ def _run() -> None:
             f"measured wall; chain-DP ~{chain_cps:.2e} cells/s "
             f"on-device\n"
         )
+    n_cpu = os.cpu_count() or 4
     print(
-        f"# {baseline_note}\n"
+        f"# baseline: {baseline.get('desc', '')} = {cpu_rps:.1f} reads/s "
+        f"({baseline.get('date', '?')})\n"
         f"# vs_baseline uses the MEASURED same-hardware CPU aligner "
         f"(BASELINE.md's 32-thread host is not measurable on this "
         f"{n_cpu}-core box)\n"
         f"# accuracy: {n_correct}/{N_READS} within 100bp of truth; "
         f"mapped {n_hit}/{N_READS} reads in {dt:.2f}s "
         f"({READ_LEN}bp, {ERROR_RATE:.0%} err, {GENOME_LEN/1e6:.0f}Mbp ref)\n"
+        f"# passes: {[round(p[0], 1) for p in passes]} (median "
+        f"{median:.1f}, best {rps:.1f}); total wall "
+        f"{time.time() - t_start:.1f}s\n"
         f"{duty_line}"
         f"# steady-state stage cpu-seconds over {n_procs} procs "
         f"(per-proc ~= /{n_procs}; measured wall {wall:.2f}s for "
-        f"{3 * N_READS} reads): front_end={fe:.2f} extend={ext:.2f} "
+        f"{len(passes) * N_READS} "
+        f"reads): front_end={fe:.2f} extend={ext:.2f} "
         f"finalize={fin:.2f}; host dp_cells/s="
         f"{m.get('dp_cells_per_sec', 0):.3e}",
         file=sys.stderr,

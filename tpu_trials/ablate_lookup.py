@@ -61,7 +61,20 @@ def main():
 
     @partial(jax.jit, static_argnames=("ablate",))
     def run(cb, lb, ablate):
-        mins = sketch_compact(cb, lb, k, w, M)
+        if ablate == "sketch":
+            # structurally identical fake minimizers (no sketch cost)
+            pos_f = jnp.broadcast_to(
+                jnp.arange(M, dtype=_I32)[None, :] * 5 + k, (B, M))
+            mins = {
+                "key_hi": jnp.zeros((B, M), _U32),
+                "key_lo": (pos_f * 2654435761).astype(_U32) >> _U32(4),
+                "pos": pos_f,
+                "strand": jnp.zeros((B, M), _I32),
+                "span": jnp.full((B, M), k, jnp.int8),
+                "n": jnp.full((B,), M, _I32),
+            }
+        else:
+            mins = sketch_compact(cb, lb, k, w, M)
         q_hi, q_lo = mins["key_hi"], mins["key_lo"]
         key_hi, key_lo = dev.key_hi, dev.key_lo
         n_pad = key_lo.shape[0]
@@ -101,9 +114,29 @@ def main():
             if not keys32:
                 found &= key_hi[idx_c] == q_hi
             cnt_raw = jnp.where(found, dev.counts[idx_c], 0)
-        cnt = jnp.where(cnt_raw > jnp.int32(eng.opt.mid_occ), 0, cnt_raw)
+        od, mmo = eng._seed_select_params()
+        if od > 0 and mmo > 0 and ablate != "select":
+            keep, _resc = lk.seed_select_keep(
+                mins["pos"], cnt_raw, found, lb, jnp.int32(eng.opt.mid_occ),
+                od, mmo)
+            cnt = jnp.where(keep, cnt_raw, 0)
+        else:
+            cnt = jnp.where(cnt_raw > jnp.int32(eng.opt.mid_occ), 0, cnt_raw)
+        if ablate != "rep":
+            # rep_len union accounting (mirrors collect_anchors)
+            span_arr = mins["span"].astype(_I32)
+            filt = found & (cnt_raw > jnp.int32(eng.opt.mid_occ))
+            en_f = jnp.where(filt, mins["pos"] + 1, 0)
+            prev_en = jnp.concatenate(
+                [jnp.zeros((B, 1), _I32),
+                 jax.lax.cummax(en_f, axis=1)[:, :-1]], axis=1)
+            st_f = mins["pos"] + 1 - span_arr
+            contrib = jnp.maximum(en_f - jnp.maximum(st_f, prev_en), 0)
+            rep_len = jnp.sum(jnp.where(filt, contrib, 0), axis=1)
+        else:
+            rep_len = jnp.sum(cnt_raw, axis=1)
         # q_occ filter
-        if qof > 0:
+        if qof > 0 and ablate != "qocc":
             slot_valid = mins["pos"] >= 0
             pos_iota = jnp.broadcast_to(
                 jnp.arange(M, dtype=_I32)[None, :], (B, M))
@@ -138,7 +171,10 @@ def main():
              jnp.cumsum(cnt, axis=1, dtype=_I32)], axis=1)
         n_anchors = jnp.minimum(prefix[:, -1], A)
         slots = jnp.broadcast_to(jnp.arange(A, dtype=_I32)[None, :], (B, A))
-        src = lk._slot_sources(prefix, cnt, A)
+        if ablate == "slotsrc":
+            src = jnp.minimum(slots >> 2, M - 1)
+        else:
+            src = lk._slot_sources(prefix, cnt, A)
         a_valid = slots < n_anchors[:, None]
         span_col = mins["span"].astype(_I32)
         if ablate == "meta":
@@ -169,16 +205,16 @@ def main():
         sort_first = jnp.where(a_valid, rev, 2)
         if ablate == "sort":
             return (sort_first, rid, rpos, qpos,
-                    a_valid.astype(_I32), q_span)
+                    a_valid.astype(_I32), q_span, rep_len)
         srt = jax.lax.sort(
             (sort_first, rid, rpos, qpos, a_valid.astype(_I32), q_span),
             dimension=1, num_keys=4)
-        return srt
+        return srt + (rep_len,)
 
     base = bench_call(lambda: run(cb, lb, "none")) * 1e3
     print(f"full lookup graph: {base:6.2f} ms", flush=True)
-    for ab in ("dir", "search", "verify", "offsets", "meta", "pos",
-               "sort"):
+    for ab in ("sketch", "dir", "search", "verify", "offsets", "select",
+               "rep", "qocc", "slotsrc", "meta", "pos", "sort"):
         t = bench_call(lambda ab=ab: run(cb, lb, ab)) * 1e3
         print(f"ablate {ab:8s}: {t:6.2f} ms (group cost {base - t:+6.2f})",
               flush=True)
