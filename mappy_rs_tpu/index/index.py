@@ -46,12 +46,10 @@ class DeviceIndex:
     are staged per batch); decision mode ships contig-range shards
     (parallel/mesh.py)."""
 
-    key_hi: object  # uint32 [n_keys_pad]; dummy [8] when keys32
-    key_lo: object  # uint32 [n_keys_pad]
-    offsets: object  # int32  [n_keys_pad]  start into positions
-    counts: object  # int32  [n_keys_pad]
-    pos_rid: object  # int32  [n_pos]
-    pos_ps: object  # uint32 [n_pos]  pos_end<<1 | strand
+    key_hi: object  # uint32 [n_keys_pad]; dummy [8] when keys32/hash
+    key_lo: object  # uint32 [n_keys_pad]; dummy [8] when hash mode
+    offcnt: object  # int32  [n_keys_pad, 2]  (start into positions, count)
+    pos_rp: object  # int32  [n_pos, 2]  (rid, bitcast(pos_end<<1|strand))
     n_keys: int
     log2_keys: int
     #: True when every key value fits 32 bits (k <= 16 hashes): the
@@ -71,6 +69,19 @@ class DeviceIndex:
     bucket_bits: int = 0
     bucket_shift: int = 0
     bucket_rounds: int = 0
+    # hash-probe seeding (keys < 2^32 only): an ordered-linear-probing
+    # open-addressing table over the minimizer keys.  hash_rows holds
+    # the stored keys reshaped [T/128, 128] so a query's whole probe
+    # window (its slot h = key >> hash_shift plus <= 128 displacement)
+    # is fetched by ONE two-row gather; hash_val maps the matched slot
+    # back to the sorted-key index (for offcnt).  Replaces the bucket
+    # directory + ranged binary search (a ~7-op dependent gather chain)
+    # with 2 gathers — the chain was the device front end's second-
+    # biggest cost (tpu_trials/ablate_lookup.py).
+    hash_rows: object = None  # uint32 [T/128 + 1, 128]
+    hash_val: object = None   # int32  [T + 128]
+    hash_bits: int = 0        # T = 2^hash_bits
+    hash_shift: int = 0       # slot = key >> hash_shift (>= 0)
 
 
 @dataclass
@@ -187,24 +198,69 @@ class MinimizerIndex:
         n_pad = max(((max(n, 1) + 127) // 128) * 128, 128)
         eff = int(self.keys[-1]).bit_length() if n else 1
         keys32 = eff <= 32
+        offcnt = np.zeros((n_pad, 2), np.int32)
+        offcnt[:n, 0] = self.key_offsets[:n].astype(np.int32)
+        offcnt[:n, 1] = (
+            self.key_offsets[1:] - self.key_offsets[:-1]
+        ).astype(np.int32)
+        m = len(self.positions)
+        m_pad = max(m, 8)
+        pos_rp = np.zeros((m_pad, 2), np.int32)
+        pos_rp[:m, 0] = (self.positions >> np.uint64(32)).astype(np.int32)
+        pos_rp[:m, 1] = (
+            (self.positions & np.uint64(0xFFFFFFFF))
+            .astype(np.uint32)
+            .view(np.int32)
+        )
+        log2 = max(n_pad - 1, 1).bit_length()
+        dummy = np.zeros(8, np.uint32)
+        # hash-probe mode (see DeviceIndex docstring): eff <= 31 so the
+        # 0xFFFFFFFF empty-slot sentinel can never collide with a real
+        # key.  The already-mixed minimizer hashes are near-uniform, so
+        # slot = key >> (eff - t) over the SORTED keys is monotone and
+        # the ordered-linear-probing layout is a vectorized prefix max.
+        use_hash = n > 0 and eff <= 31
+        if use_hash:
+            t = max((2 * n - 1).bit_length(), 8)  # T >= 2n: load <= 0.5
+            keys_i64 = self.keys.astype(np.int64)
+            i = np.arange(n, dtype=np.int64)
+            while True:
+                if eff >= t:
+                    h = keys_i64 >> (eff - t)
+                else:
+                    h = keys_i64 << (t - eff)
+                slot = i + np.maximum.accumulate(h - i)
+                # the 2-row probe window covers displacement <= 128
+                if int((slot - h).max()) <= 128:
+                    break
+                t += 1
+            T = 1 << t
+            rows = T // 128 + 1
+            hkeys = np.full(rows * 128, 0xFFFFFFFF, np.uint32)
+            hval = np.full(rows * 128, n, np.int32)  # sentinel idx = n
+            hkeys[slot] = self.keys.astype(np.uint32)
+            hval[slot] = np.arange(n, dtype=np.int32)
+            return DeviceIndex(
+                key_hi=jnp.asarray(dummy),
+                key_lo=jnp.asarray(dummy),
+                offcnt=jnp.asarray(offcnt),
+                pos_rp=jnp.asarray(pos_rp),
+                n_keys=n,
+                log2_keys=log2,
+                keys32=keys32,
+                bucket_start=jnp.asarray(np.zeros(8, np.int32)),
+                hash_rows=jnp.asarray(hkeys.reshape(rows, 128)),
+                hash_val=jnp.asarray(hval[: T + 128]),
+                hash_bits=t,
+                hash_shift=eff - t,
+            )
         key_lo = np.full(n_pad, 0xFFFFFFFF, np.uint32)
         key_lo[:n] = (self.keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         if keys32:
-            key_hi = np.zeros(8, np.uint32)  # dummy, never gathered
+            key_hi = dummy  # never gathered
         else:
             key_hi = np.full(n_pad, 0xFFFFFFFF, np.uint32)
             key_hi[:n] = (self.keys >> np.uint64(32)).astype(np.uint32)
-        offsets = np.zeros(n_pad, np.int32)
-        counts = np.zeros(n_pad, np.int32)
-        offsets[:n] = self.key_offsets[:n].astype(np.int32)
-        counts[:n] = (self.key_offsets[1:] - self.key_offsets[:-1]).astype(np.int32)
-        m = len(self.positions)
-        m_pad = max(m, 8)
-        pos_rid = np.zeros(m_pad, np.int32)
-        pos_ps = np.zeros(m_pad, np.uint32)
-        pos_rid[:m] = (self.positions >> np.uint64(32)).astype(np.int32)
-        pos_ps[:m] = (self.positions & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-        log2 = max(n_pad - 1, 1).bit_length()
         # bucket directory over the sorted keys (see DeviceIndex).
         # ~1 key/bucket on average: the ranged binary search is a
         # sequentially dependent gather chain, so halving the rounds
@@ -221,10 +277,8 @@ class MinimizerIndex:
         return DeviceIndex(
             key_hi=jnp.asarray(key_hi),
             key_lo=jnp.asarray(key_lo),
-            offsets=jnp.asarray(offsets),
-            counts=jnp.asarray(counts),
-            pos_rid=jnp.asarray(pos_rid),
-            pos_ps=jnp.asarray(pos_ps),
+            offcnt=jnp.asarray(offcnt),
+            pos_rp=jnp.asarray(pos_rp),
             n_keys=n,
             log2_keys=log2,
             keys32=keys32,

@@ -63,11 +63,11 @@ import jax.numpy as jnp  # noqa: E402
 
 def _front_end_impl(
     codes, lens, sk_lens, hpc_force, hpc_pos_map, hpc_spans,
-    key_hi, key_lo, offsets, counts, pos_rid, pos_ps, bucket_start,
+    key_hi, key_lo, offcnt, pos_rp, bucket_start, hash_rows, hash_val,
     n_keys, mid_occ, k, w, M, A, chain_params, chain_window, use_pallas,
     q_occ_frac=0.0, bucket_bits=0, bucket_rounds=0, bucket_shift=0,
     pallas_window=128, occ_dist=0, max_max_occ=0, packed=False,
-    keys32=False,
+    keys32=False, hash_bits=0, hash_shift=0,
 ):
     """Fused sketch -> seed lookup -> chain: ONE device dispatch per
     batch (the per-call tunnel latency on the dev setup is ~50-100ms,
@@ -89,10 +89,11 @@ def _front_end_impl(
         force_inf=hpc_force, pos_map=hpc_pos_map, spans=hpc_spans,
     )
     anchors = collect_anchors(
-        mins, lens, key_hi, key_lo, offsets, counts, pos_rid, pos_ps,
+        mins, lens, key_hi, key_lo, offcnt, pos_rp,
         n_keys, mid_occ, A, k, q_occ_frac,
         bucket_start, bucket_bits, bucket_rounds, bucket_shift,
         occ_dist, max_max_occ, keys32,
+        hash_rows, hash_val, hash_bits, hash_shift,
     )
     if use_pallas:
         f, p = chain_scores_pallas(anchors, chain_params, pallas_window)
@@ -121,6 +122,7 @@ _front_end = partial(
         "k", "w", "M", "A", "chain_params", "chain_window", "use_pallas",
         "q_occ_frac", "bucket_bits", "bucket_rounds", "bucket_shift",
         "pallas_window", "occ_dist", "max_max_occ", "packed", "keys32",
+        "hash_bits", "hash_shift",
     ),
 )(_front_end_impl)
 
@@ -136,12 +138,12 @@ def make_dp_front_end(mesh, is_hpc: bool, **static_kw):
     PS = jax.sharding.PartitionSpec
 
     def inner(codes, lens, sk_lens, hpc_force, hpc_pos_map, hpc_spans,
-              key_hi, key_lo, offsets, counts, pos_rid, pos_ps,
-              bucket_start, n_keys, mid_occ):
+              key_hi, key_lo, offcnt, pos_rp, bucket_start,
+              hash_rows, hash_val, n_keys, mid_occ):
         return _front_end_impl(
             codes, lens, sk_lens, hpc_force, hpc_pos_map, hpc_spans,
-            key_hi, key_lo, offsets, counts, pos_rid, pos_ps,
-            bucket_start, n_keys, mid_occ, **static_kw,
+            key_hi, key_lo, offcnt, pos_rp, bucket_start,
+            hash_rows, hash_val, n_keys, mid_occ, **static_kw,
         )
 
     d2 = PS("data", None)
@@ -167,15 +169,17 @@ def make_dp_front_end(mesh, is_hpc: bool, **static_kw):
         "q_occ_frac", "bt_k", "bt_cuts", "min_cnt", "min_sc",
         "bucket_bits", "bucket_rounds", "bucket_shift",
         "pallas_window", "occ_dist", "max_max_occ", "packed", "keys32",
+        "hash_bits", "hash_shift",
     ),
 )
 def _front_end_bt(
     codes, lens, sk_lens, hpc_force, hpc_pos_map, hpc_spans,
-    key_hi, key_lo, offsets, counts, pos_rid, pos_ps, bucket_start,
+    key_hi, key_lo, offcnt, pos_rp, bucket_start, hash_rows, hash_val,
     n_keys, mid_occ, k, w, M, A, chain_params, chain_window, use_pallas,
     q_occ_frac, bt_k, bt_cuts, min_cnt, min_sc, bucket_bits=0,
     bucket_rounds=0, bucket_shift=0, pallas_window=128,
     occ_dist=0, max_max_occ=0, packed=False, keys32=False,
+    hash_bits=0, hash_shift=0,
 ):
     """_front_end + on-device chain backtracking: the whole seeding and
     chaining path runs in one dispatch and only the compact
@@ -192,10 +196,11 @@ def _front_end_bt(
         force_inf=hpc_force, pos_map=hpc_pos_map, spans=hpc_spans,
     )
     anchors = collect_anchors(
-        mins, lens, key_hi, key_lo, offsets, counts, pos_rid, pos_ps,
+        mins, lens, key_hi, key_lo, offcnt, pos_rp,
         n_keys, mid_occ, A, k, q_occ_frac,
         bucket_start, bucket_bits, bucket_rounds, bucket_shift,
         occ_dist, max_max_occ, keys32,
+        hash_rows, hash_val, hash_bits, hash_shift,
     )
     if use_pallas:
         f, p = chain_scores_pallas(anchors, chain_params, pallas_window)
@@ -437,11 +442,11 @@ class AlignmentEngine:
                 fe_spans,
                 self.dev.key_hi,
                 self.dev.key_lo,
-                self.dev.offsets,
-                self.dev.counts,
-                self.dev.pos_rid,
-                self.dev.pos_ps,
+                self.dev.offcnt,
+                self.dev.pos_rp,
                 self.dev.bucket_start,
+                self.dev.hash_rows,
+                self.dev.hash_val,
                 jnp.int32(self.dev.n_keys),
                 jnp.int32(self.opt.mid_occ),
                 k,
@@ -455,6 +460,8 @@ class AlignmentEngine:
                 self.dev.bucket_bits,
                 self.dev.bucket_rounds,
                 self.dev.bucket_shift,
+                self.dev.hash_bits,
+                self.dev.hash_shift,
             )
             self.metrics.add("fe_batches", 1)
             self.metrics.add("fe_reads", len(chunk))
@@ -479,6 +486,7 @@ class AlignmentEngine:
                         pallas_window=self.cfg.pallas_chain_window,
                         occ_dist=od, max_max_occ=mmo, packed=pack,
                         keys32=self.dev.keys32,
+                        hash_bits=fe_args[26], hash_shift=fe_args[27],
                     )
                     # start the device->host DMA now, overlapped with
                     # this chunk's remaining host stages — the blocking
@@ -505,6 +513,7 @@ class AlignmentEngine:
                         pallas_window=self.cfg.pallas_chain_window,
                         occ_dist=od2, max_max_occ=mmo2, packed=pack,
                         keys32=self.dev.keys32,
+                        hash_bits=fe_args[26], hash_shift=fe_args[27],
                     )
                 return self._fe_dispatch(fe_args, packed=pack)
 
@@ -930,9 +939,11 @@ class AlignmentEngine:
         od, mmo = self._seed_select_params()
         if self.mesh is None:
             return _front_end(
-                *fe_args, pallas_window=self.cfg.pallas_chain_window,
+                *fe_args[:26],
+                pallas_window=self.cfg.pallas_chain_window,
                 occ_dist=od, max_max_occ=mmo, packed=packed,
                 keys32=self.dev.keys32,
+                hash_bits=fe_args[26], hash_shift=fe_args[27],
             )
         statics = fe_args[15:]
         is_hpc = fe_args[3] is not None
@@ -941,7 +952,7 @@ class AlignmentEngine:
         fe = self._dp_fes.get(key)
         if fe is None:
             (k, w, M, A, chain_params, chain_window, use_pallas, qof,
-             bb, br, bsh) = statics
+             bb, br, bsh, hb, hs) = statics
             fe = make_dp_front_end(
                 self.mesh, is_hpc, k=k, w=w, M=M, A=A,
                 chain_params=chain_params, chain_window=chain_window,
@@ -950,6 +961,7 @@ class AlignmentEngine:
                 pallas_window=self.cfg.pallas_chain_window,
                 occ_dist=od, max_max_occ=mmo, packed=packed,
                 keys32=self.dev.keys32,
+                hash_bits=hb, hash_shift=hs,
             )
             self._dp_fes[key] = fe
         return fe(*fe_args[:15])

@@ -181,12 +181,28 @@ def _slot_sources(prefix, cnt, n_slots: int):
     return jnp.maximum(jax.lax.cummax(grid, axis=1), 0)
 
 
+def collect_anchors_dev(dev, mins, qlens, mid_occ, max_anchors, span,
+                        q_occ_frac=0.0, occ_dist=0, max_max_occ=0):
+    """collect_anchors with every index-side argument pulled from a
+    DeviceIndex — both probe modes (hash table / bucketed binary
+    search) route automatically.  Test/tool convenience; the pipeline
+    passes fields explicitly for jit-argument control."""
+    return collect_anchors(
+        mins, qlens, dev.key_hi, dev.key_lo, dev.offcnt, dev.pos_rp,
+        jnp.int32(dev.n_keys), jnp.int32(mid_occ), max_anchors, span,
+        q_occ_frac, dev.bucket_start, dev.bucket_bits,
+        dev.bucket_rounds, dev.bucket_shift, occ_dist, max_max_occ,
+        dev.keys32, dev.hash_rows, dev.hash_val, dev.hash_bits,
+        dev.hash_shift,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "max_anchors", "span", "q_occ_frac", "bucket_bits",
         "bucket_rounds", "bucket_shift", "occ_dist", "max_max_occ",
-        "keys32",
+        "keys32", "hash_bits", "hash_shift",
     ),
 )
 def collect_anchors(
@@ -194,10 +210,8 @@ def collect_anchors(
     qlens: jnp.ndarray,
     key_hi: jnp.ndarray,
     key_lo: jnp.ndarray,
-    offsets: jnp.ndarray,
-    counts: jnp.ndarray,
-    pos_rid: jnp.ndarray,
-    pos_ps: jnp.ndarray,
+    offcnt: jnp.ndarray,
+    pos_rp: jnp.ndarray,
     n_keys: jnp.ndarray,
     mid_occ: jnp.ndarray,
     max_anchors: int,
@@ -210,61 +224,95 @@ def collect_anchors(
     occ_dist: int = 0,
     max_max_occ: int = 0,
     keys32: bool | None = None,
+    hash_rows: jnp.ndarray | None = None,
+    hash_val: jnp.ndarray | None = None,
+    hash_bits: int = 0,
+    hash_shift: int = 0,
 ):
     """Expand query minimizers into sorted anchors.
 
     Args:
       mins: output of sketch_compact — key_hi/key_lo/pos/strand [B, M], n [B].
       qlens: int32 [B] true query lengths.
-      key_hi..pos_ps: DeviceIndex arrays.
+      key_hi, key_lo: sorted key tables (dummies in hash-probe mode).
+      offcnt: int32 [n_pad, 2] fused (position offset, count) rows —
+        one gather fetches both (separate arrays paid two gather ops).
+      pos_rp: int32 [m_pad, 2] fused (rid, pos_end<<1|strand) rows.
       n_keys, mid_occ: int32 scalars (device).
       max_anchors: static per-read anchor budget A.
       span: static k-mer span (= k, no HPC).
+      hash_rows/hash_val/hash_bits/hash_shift: hash-probe table
+        (index.DeviceIndex); when present the sorted-key binary search
+        is replaced by one two-row window gather + one value gather.
 
     Returns dict with [B, A] arrays rev/rid/rpos/qpos/valid and n [B].
     """
     q_hi, q_lo = mins["key_hi"], mins["key_lo"]
     B, M = q_hi.shape
-    n_pad = key_lo.shape[0]
+    n_pad = offcnt.shape[0]
     if keys32 is None:
         # infer from the (static) array shapes: a keys32 DeviceIndex
         # ships a dummy 8-element hi word (see index.DeviceIndex)
         keys32 = key_hi.shape[0] != key_lo.shape[0]
 
-    if bucket_start is not None and bucket_bits > 0:
-        # bucket id = key64 >> bucket_shift (see DeviceIndex); invalid
-        # slots carry the 0xFFFF... sentinel key — clamp them into the
-        # last bucket (they find nothing there)
-        s = bucket_shift
-        if s >= 32:
-            b_u = q_hi >> _U32(s - 32)
-        elif s == 0:
-            b_u = q_lo | (q_hi << _U32(0))  # keys must fit 32 bits here
+    if hash_rows is not None and hash_bits > 0:
+        # hash-probe seeding: slot h = key >> hash_shift; the key (if
+        # present) lives in [h, h+128], fully inside rows h>>7, h>>7+1.
+        if hash_shift >= 0:
+            h = (q_lo >> _U32(hash_shift)).astype(_I32)
         else:
-            b_u = (q_lo >> _U32(s)) | (q_hi << _U32(32 - s))
-        b = jnp.minimum(b_u, _U32((1 << bucket_bits) - 1)).astype(_I32)
-        # ONE gather for both bucket bounds (adjacent directory slots;
-        # separate bucket_start[b] / [b+1] gathers each pay the full
-        # per-op gather cost on TPU)
-        bs2 = bucket_start[b[:, :, None] + jnp.arange(2, dtype=_I32)]
-        idx = _lower_bound_2key_ranged(
-            key_hi, key_lo, q_hi, q_lo,
-            bs2[..., 0], bs2[..., 1], bucket_rounds,
-            keys32=keys32,
+            h = (q_lo << _U32(-hash_shift)).astype(_I32)
+        # invalid slots carry the 0xFFFF... sentinel: clamp the row so
+        # the window gather stays in bounds (they match nothing real —
+        # empty table slots yield the idx = n_keys sentinel below)
+        r = jnp.minimum(h >> 7, hash_rows.shape[0] - 2)
+        win = hash_rows[r[:, :, None] + jnp.arange(2, dtype=_I32)]
+        match = win.reshape(B, M, 256) == q_lo[:, :, None]
+        lane = jnp.argmax(match, axis=-1).astype(_I32)
+        slot = (r << 7) + lane
+        idx = hash_val[slot]
+        idx_c = jnp.minimum(idx, n_pad - 1)
+        found = (
+            jnp.any(match, axis=-1)
+            & (idx < n_keys)
+            & (mins["pos"] >= 0)
         )
     else:
-        idx = _lower_bound_2key(
-            key_hi, key_lo, q_hi, q_lo, n_pad, keys32=keys32
+        if bucket_start is not None and bucket_bits > 0:
+            # bucket id = key64 >> bucket_shift (see DeviceIndex);
+            # invalid slots carry the 0xFFFF... sentinel key — clamp
+            # them into the last bucket (they find nothing there)
+            s = bucket_shift
+            if s >= 32:
+                b_u = q_hi >> _U32(s - 32)
+            elif s == 0:
+                b_u = q_lo | (q_hi << _U32(0))  # keys fit 32 bits here
+            else:
+                b_u = (q_lo >> _U32(s)) | (q_hi << _U32(32 - s))
+            b = jnp.minimum(b_u, _U32((1 << bucket_bits) - 1)).astype(_I32)
+            # ONE gather for both bucket bounds (adjacent directory
+            # slots; separate bucket_start[b] / [b+1] gathers each pay
+            # the full per-op gather cost on TPU)
+            bs2 = bucket_start[b[:, :, None] + jnp.arange(2, dtype=_I32)]
+            idx = _lower_bound_2key_ranged(
+                key_hi, key_lo, q_hi, q_lo,
+                bs2[..., 0], bs2[..., 1], bucket_rounds,
+                keys32=keys32,
+            )
+        else:
+            idx = _lower_bound_2key(
+                key_hi, key_lo, q_hi, q_lo, n_pad, keys32=keys32
+            )
+        idx_c = jnp.minimum(idx, n_pad - 1)
+        found = (
+            (idx < n_keys)
+            & (key_lo[idx_c] == q_lo)
+            & (mins["pos"] >= 0)
         )
-    idx_c = jnp.minimum(idx, n_pad - 1)
-    found = (
-        (idx < n_keys)
-        & (key_lo[idx_c] == q_lo)
-        & (mins["pos"] >= 0)
-    )
-    if not keys32:
-        found &= key_hi[idx_c] == q_hi
-    cnt_raw = jnp.where(found, counts[idx_c], 0)
+        if not keys32:
+            found &= key_hi[idx_c] == q_hi
+    oc = offcnt[idx_c]  # [B, M, 2]: one gather for offset AND count
+    cnt_raw = jnp.where(found, oc[..., 1], 0)
     # seed occurrence filter (mm_mapopt_update's mid_occ, SURVEY §2b N4)
     if occ_dist > 0 and max_max_occ > 0:
         # occ thinning / seed rescue (mm_seed_select): re-enable the
@@ -338,7 +386,7 @@ def collect_anchors(
             (n_mins.astype(jnp.float32) * q_occ_frac).astype(_I32), 10
         )
         cnt = jnp.where(q_cnt > q_thresh, 0, cnt)
-    off = offsets[idx_c]
+    off = oc[..., 0]
 
     # slot allocation: prefix[b, i] = anchors before minimizer slot i
     prefix = jnp.concatenate(
@@ -351,29 +399,36 @@ def collect_anchors(
     src = _slot_sources(prefix, cnt, A)  # minimizer slot per anchor
     rows = jnp.arange(B, dtype=_I32)[:, None]
     a_valid = slots < n_anchors[:, None]
-    # per-minimizer metadata consumed at anchor slots, STACKED so one
-    # row-gather fetches all five fields (five separate [B, A] gathers
-    # each paid the full per-op gather cost on TPU)
+    # per-minimizer metadata consumed at anchor slots, PACKED into two
+    # words so one row-gather fetches everything (each extra stacked
+    # word costs real gather time on TPU — tpu_trials/ablate_lookup.py):
+    #   doff = off - prefix  (pos_idx = slot + doff[src])
+    #   pss  = pos<<9 | span<<1 | strand  (pos < 2^22 — device bucket
+    #          lengths are orders of magnitude below; span < 256 always)
     span_col = (
         mins["span"].astype(_I32) if "span" in mins
         else jnp.full_like(mins["pos"], span)
     )
-    meta = jnp.stack(
-        [prefix[:, :-1], off, mins["pos"],
-         mins["strand"].astype(_I32), span_col], axis=-1
-    )  # [B, M, 5]
-    mrow = meta[rows, src]  # [B, A, 5]
-    hit_off = slots - mrow[..., 0]
-    pos_idx = jnp.where(a_valid, mrow[..., 1] + hit_off, 0)
+    doff = off - prefix[:, :-1]
+    pss = (
+        (mins["pos"] << 9)
+        | (span_col << 1)
+        | mins["strand"].astype(_I32)
+    )
+    meta = jnp.stack([doff, pss], axis=-1)  # [B, M, 2]
+    mrow = meta[rows, src]  # [B, A, 2]
+    pos_idx = jnp.where(a_valid, slots + mrow[..., 0], 0)
 
-    rid = pos_rid[pos_idx]
-    ps = pos_ps[pos_idx]
+    rp = pos_rp[pos_idx]  # [B, A, 2]: one gather for rid AND pos
+    rid = rp[..., 0]
+    ps = jax.lax.bitcast_convert_type(rp[..., 1], _U32)
     rpos = (ps >> _U32(1)).astype(_I32)
     rstrand = (ps & _U32(1)).astype(jnp.uint8)
 
-    q_pos = mrow[..., 2]
-    q_strand = mrow[..., 3]
-    q_span = mrow[..., 4]
+    mpss = mrow[..., 1]
+    q_pos = mpss >> 9
+    q_strand = mpss & 1
+    q_span = (mpss >> 1) & 255
     rev = q_strand ^ rstrand.astype(_I32)
     qpos = jnp.where(
         rev == 0,

@@ -141,11 +141,38 @@ def sketch(
       minimizer: bool — position i emits a minimizer
       key_hi, key_lo: uint32 — 2k-bit hash of the canonical k-mer
       strand: uint8 — 0 forward / 1 reverse-canonical
+
+    Hash values are carried as tuples of uint32 words: ONE word when
+    2k <= 32 (every supported small-k preset — halves the elementwise
+    arithmetic, the single biggest device front-end cost), two (hi, lo)
+    words otherwise.  The emission logic below is width-generic.
     """
+    narrow = (2 * k) <= 32  # hash fits one u32 word
     codes = codes.astype(_U32)
     B, L = codes.shape
     valid_base = codes < AMBIG
     clean = jnp.where(valid_base, codes, 0)
+
+    # --- width-generic tuple ops --------------------------------------
+    def t_le(a, b):
+        return a[0] <= b[0] if len(a) == 1 else u64.le(a, b)
+
+    def t_eq(a, b):
+        return a[0] == b[0] if len(a) == 1 else u64.eq(a, b)
+
+    def t_min(a, b):
+        if len(a) == 1:
+            return (jnp.minimum(a[0], b[0]),)
+        return u64.minimum(a, b)
+
+    def t_sel(pred, a, b):
+        return tuple(jnp.where(pred, x, y) for x, y in zip(a, b))
+
+    def t_back(a, d, fill):
+        return tuple(_shifted_back(x, d, fill) for x in a)
+
+    def t_fwd(a, d, fill):
+        return tuple(_shifted_fwd(x, d, fill) for x in a)
 
     # --- validity: all k bases ending at i are valid ------------------
     invalid = (~valid_base).astype(jnp.int32)
@@ -180,20 +207,25 @@ def sketch(
             kr_hi = kr_hi | (comp << (s_r - 32))
 
     # canonical strand: z=1 when reverse complement is smaller
-    z = u64.le((kr_hi, kr_lo), (kf_hi, kf_lo))  # kf==kr -> z True (even-k only)
-    kmin = u64.select(z, (kr_hi, kr_lo), (kf_hi, kf_lo))
+    kf = (kf_lo,) if narrow else (kf_hi, kf_lo)
+    kr = (kr_lo,) if narrow else (kr_hi, kr_lo)
+    z = t_le(kr, kf)  # kf==kr -> z True (even-k only)
+    kmin = t_sel(z, kr, kf)
 
     mask_bits = 2 * k
     mask_lo = _U32(u64.mask_bits(min(mask_bits, 32)))
     mask_hi = _U32(u64.mask_bits(max(mask_bits - 32, 0)))
-    h = u64.hash64(kmin, mask_hi, mask_lo)
+    if narrow:
+        h = (u64.hash32(kmin[0], mask_lo),)
+    else:
+        h = u64.hash64(kmin, mask_hi, mask_lo)
 
     INF_V = _U32(0xFFFFFFFF)
-    INF = (jnp.full((B, L), INF_V), jnp.full((B, L), INF_V))
+    INF = tuple(jnp.full((B, L), INF_V) for _ in h)
     emit_ok = kmer_ok
     if force_inf is not None:
         emit_ok = emit_ok & (~force_inf)
-    x = u64.select(emit_ok, h, INF)
+    x = t_sel(emit_ok, h, INF)
     pos = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
 
     # run(t): consecutive valid BASES ending at t
@@ -203,26 +235,23 @@ def sketch(
     # m(t), M(t): minimum value and LATEST-tie argmin over [t-w+1, t]
     m = x
     for d in range(1, w):
-        m = u64.minimum(
-            m, (_shifted_back(x[0], d, INF_V), _shifted_back(x[1], d, INF_V))
-        )
+        m = t_min(m, t_back(x, d, INF_V))
     # latest tie = smallest lookback d with x[t-d] == m(t)
     M = jnp.full((B, L), -1, jnp.int32)
     found = jnp.zeros((B, L), bool)
     for d in range(w):
-        xb = (_shifted_back(x[0], d, INF_V), _shifted_back(x[1], d, INF_V))
-        hit = (~found) & u64.eq(xb, m)
+        hit = (~found) & t_eq(t_back(x, d, INF_V), m)
         M = jnp.where(hit, pos - d, M)
         found = found | hit
     # all-INF windows: the scalar code's min slot is still tracked; the
     # INF match above yields the latest INF position, consistent.
 
-    m1 = (_shifted_back(m[0], 1, INF_V), _shifted_back(m[1], 1, INF_V))  # m(t-1)
+    m1 = t_back(m, 1, INF_V)  # m(t-1)
     M1 = _shifted_back(M, 1, jnp.int32(-2))  # M(t-1)
 
     condA = run == (w + k - 1)
-    condB = u64.le(x, m1) & (run >= (w + k))
-    condCt = (M1 == pos - w) & (~u64.le(x, m1)) & (run >= (w + k - 1))
+    condB = t_le(x, m1) & (run >= (w + k))
+    condCt = (M1 == pos - w) & (~t_le(x, m1)) & (run >= (w + k - 1))
 
     emitted = jnp.zeros((B, L), bool)
     for d in range(1, w + 1):
@@ -232,11 +261,11 @@ def sketch(
         if d < w:
             tA = _shifted_fwd(condA, d, False)
             tCt = _shifted_fwd(condCt, d, False)
-            m1_d = (_shifted_fwd(m1[0], d, INF_V), _shifted_fwd(m1[1], d, INF_V))
-            m_d = (_shifted_fwd(m[0], d, INF_V), _shifted_fwd(m[1], d, INF_V))
+            m1_d = t_fwd(m1, d, INF_V)
+            m_d = t_fwd(m, d, INF_V)
             M_d = _shifted_fwd(M, d, jnp.int32(-2))
-            emitted = emitted | (tA & u64.eq(x, m1_d) & (M1_d != pos))  # A
-            emitted = emitted | (tCt & u64.eq(x, m_d) & (M_d != pos))  # Ct
+            emitted = emitted | (tA & t_eq(x, m1_d) & (M1_d != pos))  # A
+            emitted = emitted | (tCt & t_eq(x, m_d) & (M_d != pos))  # Ct
         else:
             emitted = emitted | (_shifted_fwd(condCt, w, False) & (M1_d == pos))  # Cp
 
@@ -248,8 +277,8 @@ def sketch(
     emitted = emitted & emit_ok & (pos < lengths[:, None])
     return {
         "minimizer": emitted,
-        "key_hi": x[0],
-        "key_lo": x[1],
+        "key_hi": jnp.zeros((B, L), _U32) if narrow else x[0],
+        "key_lo": x[-1],
         "strand": z.astype(jnp.uint8),
     }
 
@@ -291,11 +320,31 @@ def sketch_compact(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int,
         span_src = jnp.full((B, L), k, jnp.int32)
     else:
         span_src = spans.astype(jnp.int32)
-    return {
-        "n": n,
-        "key_hi": scatter(s["key_hi"], 0xFFFFFFFF, _U32),
-        "key_lo": scatter(s["key_lo"], 0xFFFFFFFF, _U32),
-        "pos": scatter(pos, -1, jnp.int32),
-        "strand": scatter(s["strand"], 0, jnp.uint8),
-        "span": scatter(span_src, 0, jnp.int32),
-    }
+    narrow = (2 * k) <= 32  # sketch emitted single-word hashes
+    out = {"n": n, "key_lo": scatter(s["key_lo"], 0xFFFFFFFF, _U32)}
+    out["key_hi"] = (
+        jnp.zeros((B, M), _U32) if narrow
+        else scatter(s["key_hi"], 0xFFFFFFFF, _U32)
+    )
+    if L < (1 << 22):
+        # pos/span/strand packed into ONE scatter word (each [B, L] ->
+        # [B, M] scatter is a full gather-cost device op; 5 -> 2/3 ops):
+        # pss = pos<<9 | span<<1 | strand.  span < 256 always (k <= 28;
+        # HPC spans >= 256 are force_inf'd out), pos < L < 2^22.
+        pss_src = (
+            (pos << 9)
+            | (span_src << 1)
+            | s["strand"].astype(jnp.int32)
+        )
+        pss = scatter(pss_src, -1, jnp.int32)
+        pos_o = pss >> 9  # arithmetic: -1 fill stays -1
+        out["pos"] = pos_o
+        out["span"] = jnp.where(pos_o >= 0, (pss >> 1) & 255, 0)
+        out["strand"] = jnp.where(
+            pos_o >= 0, pss & 1, 0
+        ).astype(jnp.uint8)
+    else:
+        out["pos"] = scatter(pos, -1, jnp.int32)
+        out["strand"] = scatter(s["strand"], 0, jnp.uint8)
+        out["span"] = scatter(span_src, 0, jnp.int32)
+    return out

@@ -84,12 +84,10 @@ def shard_index_by_key_range(
     width = w2
     key_hi = np.full((n_shards, width), 0xFFFFFFFF, np.uint32)
     key_lo = np.full((n_shards, width), 0xFFFFFFFF, np.uint32)
-    offsets = np.zeros((n_shards, width), np.int32)
-    counts = np.zeros((n_shards, width), np.int32)
+    offcnt = np.zeros((n_shards, width, 2), np.int32)
     n_keys = np.zeros((n_shards,), np.int32)
     pos_widths = []
-    pos_rid_shards = []
-    pos_ps_shards = []
+    pos_shards = []
     for s in range(n_shards):
         a, b = bounds[s], bounds[s + 1]
         ks = index.keys[a:b]
@@ -97,23 +95,25 @@ def shard_index_by_key_range(
         key_lo[s, : b - a] = (ks & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         pa = int(index.key_offsets[a])
         pb = int(index.key_offsets[b])
-        offsets[s, : b - a] = (
+        offcnt[s, : b - a, 0] = (
             index.key_offsets[a:b].astype(np.int64) - pa
         ).astype(np.int32)
-        counts[s, : b - a] = (
+        offcnt[s, : b - a, 1] = (
             index.key_offsets[a + 1 : b + 1] - index.key_offsets[a:b]
         ).astype(np.int32)
         n_keys[s] = b - a
         pos = index.positions[pa:pb]
-        pos_rid_shards.append((pos >> np.uint64(32)).astype(np.int32))
-        pos_ps_shards.append((pos & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+        rp = np.zeros((len(pos), 2), np.int32)
+        rp[:, 0] = (pos >> np.uint64(32)).astype(np.int32)
+        rp[:, 1] = (
+            (pos & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
+        )
+        pos_shards.append(rp)
         pos_widths.append(pb - pa)
     pw = max(max(pos_widths), 8)
-    pos_rid = np.zeros((n_shards, pw), np.int32)
-    pos_ps = np.zeros((n_shards, pw), np.uint32)
+    pos_rp = np.zeros((n_shards, pw, 2), np.int32)
     for s in range(n_shards):
-        pos_rid[s, : pos_widths[s]] = pos_rid_shards[s]
-        pos_ps[s, : pos_widths[s]] = pos_ps_shards[s]
+        pos_rp[s, : pos_widths[s]] = pos_shards[s]
     # the packed reference is SHARDED too (GRCh38-scale indexes don't
     # fit replicated): CONTIG-RANGE blocks — each shard owns a
     # contiguous rid range, concatenated with PER-SHARD LOCAL offsets.
@@ -170,11 +170,9 @@ def shard_index_by_key_range(
     return {
         "key_hi": key_hi,
         "key_lo": key_lo,
-        "offsets": offsets,
-        "counts": counts,
+        "offcnt": offcnt,
         "n_keys": n_keys,
-        "pos_rid": pos_rid,
-        "pos_ps": pos_ps,
+        "pos_rp": pos_rp,
         "ref_blocks": ref_blocks,  # [n_shards, blk] contig-range rows
         "rid2shard": rid2shard,    # int32 [n_seq] replicated
         "loc_off": loc_off,        # int32 [n_seq] shard-local offsets
@@ -220,16 +218,14 @@ def build_sharded_map_step(
         # shard_map gives per-device blocks; squeeze the shard axis
         key_hi = sh["key_hi"][0]
         key_lo = sh["key_lo"][0]
-        offsets = sh["offsets"][0]
-        counts = sh["counts"][0]
+        offcnt = sh["offcnt"][0]
         n_keys = sh["n_keys"][0]
-        pos_rid = sh["pos_rid"][0]
-        pos_ps = sh["pos_ps"][0]
+        pos_rp = sh["pos_rp"][0]
         ref_block = sh["ref_blocks"][0]  # [blk] this shard's contigs
 
         mins = sketch_compact(codes, lens, k, w, max_minimizers)
         loc = collect_anchors(
-            mins, lens, key_hi, key_lo, offsets, counts, pos_rid, pos_ps,
+            mins, lens, key_hi, key_lo, offcnt, pos_rp,
             n_keys, jnp.int32(mid_occ), A_loc, k,
         )
         # merge per-shard anchors: all-gather over the index axis (ICI)
@@ -333,11 +329,9 @@ def build_sharded_map_step(
     shard_specs = {
         "key_hi": P("index", None),
         "key_lo": P("index", None),
-        "offsets": P("index", None),
-        "counts": P("index", None),
+        "offcnt": P("index", None, None),
         "n_keys": P("index"),
-        "pos_rid": P("index", None),
-        "pos_ps": P("index", None),
+        "pos_rp": P("index", None, None),
         "ref_blocks": P("index", None),
         "rid2shard": P(),
         "loc_off": P(),

@@ -116,11 +116,9 @@ def shard_specs_for_index() -> Dict[str, P]:
     return {
         "key_hi": P("index", None),
         "key_lo": P("index", None),
-        "offsets": P("index", None),
-        "counts": P("index", None),
+        "offcnt": P("index", None, None),
         "n_keys": P("index"),
-        "pos_rid": P("index", None),
-        "pos_ps": P("index", None),
+        "pos_rp": P("index", None, None),
         "ref_blocks": P("index", None),
         "rid2shard": P(),
         "loc_off": P(),

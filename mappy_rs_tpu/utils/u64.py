@@ -94,6 +94,26 @@ def mask_bits(bits: int) -> int:
     return (1 << bits) - 1
 
 
+def hash32(key: jnp.ndarray, mask_lo: jnp.ndarray) -> jnp.ndarray:
+    """hash64 specialized to masks of <= 32 bits (2k <= 32).
+
+    Bit-exact with hash64 on (0, key): every masked step keeps the
+    value within mask_lo <= 2^32-1, the unmasked xor/shr steps cannot
+    widen it, and u32 wraparound in the adds is erased by the masks —
+    so the hi word is identically zero throughout and single-word u32
+    arithmetic reproduces the pair result.  Halves the sketch kernel's
+    arithmetic for k <= 16 (every elementwise op runs once, not twice).
+    """
+    key = (~key + (key << 21)) & mask_lo
+    key = key ^ (key >> 24)
+    key = (key + (key << 3) + (key << 8)) & mask_lo
+    key = key ^ (key >> 14)
+    key = (key + (key << 2) + (key << 4)) & mask_lo
+    key = key ^ (key >> 28)
+    key = (key + (key << 31)) & mask_lo
+    return key
+
+
 def hash64(key: U64, mask_hi: jnp.ndarray, mask_lo: jnp.ndarray) -> U64:
     """Invertible integer mix hash over the low `2k` bits (vectorized).
 

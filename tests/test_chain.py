@@ -4,7 +4,7 @@ import numpy as np
 from mappy_rs_tpu.config import MapOptions
 from mappy_rs_tpu.index.build import load_or_build
 from mappy_rs_tpu.ops.chain import ChainParams, chain_scores, chain_scores_block
-from mappy_rs_tpu.ops.lookup import collect_anchors
+from mappy_rs_tpu.ops.lookup import collect_anchors_dev
 from mappy_rs_tpu.ops.sketch import sketch_compact
 from mappy_rs_tpu.utils.seqcodes import encode, read_fastx
 
@@ -36,10 +36,8 @@ def test_block_chain_equals_scan_chain():
         codes[i, : len(c)] = c
         lens[i] = len(c)
     mins = sketch_compact(jnp.asarray(codes), jnp.asarray(lens), 15, 10, 102)
-    anchors = collect_anchors(
-        mins, jnp.asarray(lens), dev.key_hi, dev.key_lo, dev.offsets,
-        dev.counts, dev.pos_rid, dev.pos_ps, jnp.int32(dev.n_keys),
-        jnp.int32(opt.mid_occ), 256, 15,
+    anchors = collect_anchors_dev(
+        dev, mins, jnp.asarray(lens), opt.mid_occ, 256, 15,
     )
     cp = ChainParams(5000, 5000, 500, 15, 0.12, 0.0)
     f1, p1 = map(np.asarray, chain_scores(anchors, cp, 64))

@@ -28,7 +28,7 @@ import mappy_rs_tpu
 from mappy_rs_tpu import native
 from mappy_rs_tpu.ops.chain import ChainParams, chain_scores_block
 from mappy_rs_tpu.ops.chain_pallas import chain_scores_pallas
-from mappy_rs_tpu.ops.lookup import collect_anchors
+from mappy_rs_tpu.ops.lookup import collect_anchors_dev
 from mappy_rs_tpu.ops.sketch import sketch_compact
 from mappy_rs_tpu.utils.seqcodes import encode
 from mappy_rs_tpu.config import IndexOptions
@@ -63,10 +63,8 @@ def _device_anchors(idx, read, A=2048):
         jnp.asarray(batch), jnp.asarray(lens), idx.k, idx.w,
         max(64, L // max(idx.w // 2, 1)),
     )
-    anchors = collect_anchors(
-        mins, jnp.asarray(lens), dev.key_hi, dev.key_lo, dev.offsets,
-        dev.counts, dev.pos_rid, dev.pos_ps, jnp.int32(dev.n_keys),
-        jnp.int32(MID_OCC), A, idx.k, 0.0,
+    anchors = collect_anchors_dev(
+        dev, mins, jnp.asarray(lens), MID_OCC, A, idx.k, 0.0,
     )
     assert int(np.asarray(anchors["n_raw"])[0]) <= A, "A-budget truncation"
     return anchors

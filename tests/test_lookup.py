@@ -7,7 +7,7 @@ import jax.numpy as jnp
 
 from mappy_rs_tpu.config import IndexOptions
 from mappy_rs_tpu.index.build import build_index
-from mappy_rs_tpu.ops.lookup import collect_anchors
+from mappy_rs_tpu.ops.lookup import collect_anchors_dev
 from mappy_rs_tpu.ops.sketch import sketch_compact
 from mappy_rs_tpu.utils.seqcodes import encode
 
@@ -63,15 +63,11 @@ def test_q_occ_filter_matches_naive_counting():
     n_mins = (mins_np["pos"] >= 0).sum(axis=1)
 
     for frac in (0.01, 0.2, 0.5):
-        got = collect_anchors(
-            mins, lens, dev.key_hi, dev.key_lo, dev.offsets, dev.counts,
-            dev.pos_rid, dev.pos_ps, jnp.int32(dev.n_keys),
-            jnp.int32(10_000), 512, idx.k, float(frac),
+        got = collect_anchors_dev(
+            dev, mins, lens, 10_000, 512, idx.k, float(frac),
         )
-        base = collect_anchors(
-            mins, lens, dev.key_hi, dev.key_lo, dev.offsets, dev.counts,
-            dev.pos_rid, dev.pos_ps, jnp.int32(dev.n_keys),
-            jnp.int32(10_000), 512, idx.k, 0.0,
+        base = collect_anchors_dev(
+            dev, mins, lens, 10_000, 512, idx.k, 0.0,
         )
         # reproduce the filter on host with the naive counts and check
         # the anchor totals agree
@@ -103,10 +99,8 @@ def test_rep_len_matches_scalar_union():
 
     # pick a mid_occ low enough that the tiled-repeat seeds get dropped
     for mid_occ in (1, 3, 10):
-        got = collect_anchors(
-            mins, lens, dev.key_hi, dev.key_lo, dev.offsets, dev.counts,
-            dev.pos_rid, dev.pos_ps, jnp.int32(dev.n_keys),
-            jnp.int32(mid_occ), 512, idx.k, 0.0,
+        got = collect_anchors_dev(
+            dev, mins, lens, mid_occ, 512, idx.k, 0.0,
         )
         rep = np.asarray(got["rep_len"])
         # scalar oracle: union of [en-span, en) for occ-filtered slots
@@ -153,10 +147,8 @@ def test_anchor_overflow_is_observable():
     idx, codes, lens = _mk_index_and_batch(rng, repeat=True)
     dev = idx.device
     mins = sketch_compact(codes, lens, idx.k, idx.w, 128)
-    got = collect_anchors(
-        mins, lens, dev.key_hi, dev.key_lo, dev.offsets, dev.counts,
-        dev.pos_rid, dev.pos_ps, jnp.int32(dev.n_keys),
-        jnp.int32(100_000), 8, idx.k, 0.0,
+    got = collect_anchors_dev(
+        dev, mins, lens, 100_000, 8, idx.k, 0.0,
     )
     n, n_raw = np.asarray(got["n"]), np.asarray(got["n_raw"])
     assert (n <= 8).all()

@@ -27,7 +27,8 @@ def test_index_key_range_sharding_roundtrip():
     assert np.array_equal(cat, idx.keys)
     # per-shard position counts match offsets
     total = sum(
-        int(sh["counts"][s][: int(sh["n_keys"][s])].sum()) for s in range(4)
+        int(sh["offcnt"][s][: int(sh["n_keys"][s]), 1].sum())
+        for s in range(4)
     )
     assert total == len(idx.positions)
     # the packed reference is sharded into CONTIG-RANGE rows, not

@@ -67,7 +67,7 @@ def main():
                 jnp.arange(M, dtype=_I32)[None, :] * 5 + k, (B, M))
             mins = {
                 "key_hi": jnp.zeros((B, M), _U32),
-                "key_lo": (pos_f * 2654435761).astype(_U32) >> _U32(4),
+                "key_lo": (pos_f.astype(_U32) * _U32(2654435761)) >> _U32(4),
                 "pos": pos_f,
                 "strand": jnp.zeros((B, M), _I32),
                 "span": jnp.full((B, M), k, jnp.int8),
