@@ -514,15 +514,19 @@ class Aligner:
         return [uniq[s] for s in seqs]
 
     # --- multi-chip full pipeline (no reference analogue) --------------
-    def enable_mesh(self, n_data: int = 0) -> None:
+    def enable_mesh(self, n_data: int = 0, n_index: int = 1) -> None:
         """Run the full-CIGAR `map`/`map_batch` pipeline data-parallel
         over `n_data` local devices (default: all).  The fused device
         front end (sketch -> seed -> chain) is shard_mapped over a
-        Mesh "data" axis with the index replicated; host finalization
-        is unchanged, so mappings are bitwise-identical to single-chip
-        (BASELINE config 3).  For key-range index sharding (decision
-        mode) see :meth:`enable_sharding`."""
-        self._engine.enable_mesh(n_data)
+        Mesh "data" axis; with ``n_index > 1`` the key/position tables
+        are additionally SHARDED into key ranges over an "index" axis
+        (nothing reference-sized replicated — the GRCh38-scale
+        configuration), merged with an all-gather before chaining.
+        Host finalization is unchanged, so mappings are
+        bitwise-identical to single-chip (BASELINE config 3).  For
+        key-range index sharding in decision mode see
+        :meth:`enable_sharding`."""
+        self._engine.enable_mesh(n_data, n_index)
 
     # --- multi-chip decision mode (no reference analogue) --------------
     def enable_sharding(self, n_data: int = 0, n_index: int = 1) -> None:

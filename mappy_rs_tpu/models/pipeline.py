@@ -162,6 +162,123 @@ def make_dp_front_end(mesh, is_hpc: bool, **static_kw):
     )
 
 
+def make_sharded_front_end(mesh, is_hpc: bool, n_index: int, **static_kw):
+    """Full-CIGAR front end with the INDEX SHARDED over the mesh's
+    "index" axis (VERDICT r3 #6 — `enable_mesh` previously replicated
+    the key/position tables per device; GRCh38-scale tables don't fit
+    replicated).  Reads shard over "data" as in make_dp_front_end; the
+    key-range shards (parallel/mesh.shard_index_by_key_range) shard
+    over "index" with shard-local position offsets.
+
+    Exactness: every query minimizer matches at most ONE key-range
+    shard, so the global occurrence count is a psum over the index
+    axis; the occurrence/rescue/q_occ filters run on that global count
+    (identically on every shard), each shard expands only its own hits
+    (budget A/n_index), and the merged all-gathered anchors are
+    re-sorted with the same lexicographic keys — reproducing the
+    single-device anchor array except for tie order and per-shard (vs
+    global) truncation under A-budget overflow.
+    """
+    from ..ops.lookup import expand_anchors, filter_counts, probe_index
+
+    PS = jax.sharding.PartitionSpec
+    k = static_kw["k"]
+    w = static_kw["w"]
+    M = static_kw["M"]
+    A = static_kw["A"]
+    A_loc = max(A // n_index, 128)
+    chain_params = static_kw["chain_params"]
+    chain_window = static_kw["chain_window"]
+    use_pallas = static_kw["use_pallas"]
+    q_occ_frac = static_kw.get("q_occ_frac", 0.0)
+    occ_dist = static_kw.get("occ_dist", 0)
+    max_max_occ = static_kw.get("max_max_occ", 0)
+    packed = static_kw.get("packed", False)
+    pallas_window = static_kw.get("pallas_window", 128)
+
+    def inner(codes, lens, sk_lens, hpc_force, hpc_pos_map, hpc_spans,
+              key_hi, key_lo, offcnt, pos_rp, n_keys_sh, mid_occ):
+        if packed:
+            codes = jnp.stack(
+                [codes >> 4, codes & 0xF], axis=-1
+            ).reshape(codes.shape[0], -1)
+        B = codes.shape[0]
+        mins = sketch_compact(
+            codes, sk_lens, k, w, M,
+            force_inf=hpc_force, pos_map=hpc_pos_map, spans=hpc_spans,
+        )
+        found, oc = probe_index(
+            mins, key_hi[0], key_lo[0], offcnt[0], n_keys_sh[0],
+            keys32=False,
+        )
+        cnt_loc_raw = jnp.where(found, oc[..., 1], 0)
+        # keys are range-disjoint across shards: psum = global count
+        cnt_raw = jax.lax.psum(cnt_loc_raw, "index")
+        found_glob = cnt_raw > 0
+        cnt_glob, rep_len = filter_counts(
+            mins, lens, found_glob, cnt_raw, mid_occ, k,
+            q_occ_frac, occ_dist, max_max_occ,
+        )
+        # post-filter LOCAL counts: kept minimizers keep their (single)
+        # owning shard's count
+        cnt_loc = jnp.where((cnt_glob > 0) & found, cnt_loc_raw, 0)
+        loc = expand_anchors(
+            mins, lens, cnt_loc, oc[..., 0], pos_rp[0], A_loc, k
+        )
+        merged = {}
+        for nm in ("rev", "rid", "rpos", "qpos", "span"):
+            g = jax.lax.all_gather(loc[nm], "index")  # [n_idx, B, A_loc]
+            merged[nm] = jnp.swapaxes(g, 0, 1).reshape(B, -1)
+        gv = jax.lax.all_gather(loc["valid"], "index")
+        valid = jnp.swapaxes(gv, 0, 1).reshape(B, -1)
+        n = jnp.minimum(jax.lax.psum(loc["n"], "index"), A_loc * n_index)
+        n_raw = jax.lax.psum(loc["n_raw"], "index")
+        sort_first = jnp.where(valid, merged["rev"], 2)
+        srt = jax.lax.sort(
+            (sort_first, merged["rid"], merged["rpos"], merged["qpos"],
+             valid.astype(jnp.int32), merged["span"]),
+            dimension=1, num_keys=4,
+        )
+        anchors = {
+            "rev": srt[0], "rid": srt[1], "rpos": srt[2],
+            "qpos": srt[3], "valid": srt[4].astype(bool),
+            "span": srt[5], "n": n, "n_raw": n_raw, "rep_len": rep_len,
+        }
+        if use_pallas:
+            f, p = chain_scores_pallas(anchors, chain_params,
+                                       pallas_window)
+        else:
+            f, p = chain_scores_block(anchors, chain_params, chain_window)
+        meta = (
+            (anchors["rev"].astype(jnp.int32) << 30)
+            | (anchors["valid"].astype(jnp.int32) << 29)
+            | (jnp.clip(anchors["span"].astype(jnp.int32), 0, 255) << 21)
+            | anchors["rid"].astype(jnp.int32)
+        )
+        stacked = jnp.stack(
+            [meta, anchors["rpos"], anchors["qpos"], f, p], axis=0
+        )
+        return stacked, jnp.stack(
+            [anchors["n"], anchors["n_raw"], anchors["rep_len"]]
+        )
+
+    d2 = PS("data", None)
+    d1 = PS("data")
+    r = PS()
+    i1 = PS("index")
+    i2 = PS("index", None)
+    i3 = PS("index", None, None)
+    hpc_specs = (d2, d2, d2) if is_hpc else (r, r, r)
+    in_specs = (d2, d1, d1) + hpc_specs + (i2, i2, i3, i3, i1, r)
+    out_specs = (PS(None, "data", None), PS(None, "data"))
+    return jax.jit(
+        jax.shard_map(
+            inner, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -262,6 +379,7 @@ class AlignmentEngine:
         # bitwise-identical Mappings to single-chip
         self.mesh = None
         self._dp_fes: Dict[tuple, Any] = {}
+        self._index_shards = None  # enable_mesh(n_index > 1)
         self.metrics = EngineMetrics()
         max_gap_ref = opt.max_gap_ref if opt.max_gap_ref >= 0 else opt.max_gap
         self.is_splice = bool(opt.flag & MM_F_SPLICE)
@@ -433,6 +551,8 @@ class AlignmentEngine:
                 ) if pack else jnp.asarray(batch)
                 fe_sklens = jnp.asarray(lens)
                 fe_force = fe_posmap = fe_spans = None
+            fe_dev = self._fe_dev  # dummy when the index is sharded:
+            # the replicated device tables must never be built then
             fe_args = (
                 fe_codes,
                 jnp.asarray(lens),
@@ -440,14 +560,14 @@ class AlignmentEngine:
                 fe_force,
                 fe_posmap,
                 fe_spans,
-                self.dev.key_hi,
-                self.dev.key_lo,
-                self.dev.offcnt,
-                self.dev.pos_rp,
-                self.dev.bucket_start,
-                self.dev.hash_rows,
-                self.dev.hash_val,
-                jnp.int32(self.dev.n_keys),
+                fe_dev.key_hi,
+                fe_dev.key_lo,
+                fe_dev.offcnt,
+                fe_dev.pos_rp,
+                fe_dev.bucket_start,
+                fe_dev.hash_rows,
+                fe_dev.hash_val,
+                jnp.int32(fe_dev.n_keys),
                 jnp.int32(self.opt.mid_occ),
                 k,
                 w,
@@ -457,11 +577,11 @@ class AlignmentEngine:
                 self.cfg.chain_window,
                 jax.default_backend() == "tpu",
                 float(self.opt.q_occ_frac),
-                self.dev.bucket_bits,
-                self.dev.bucket_rounds,
-                self.dev.bucket_shift,
-                self.dev.hash_bits,
-                self.dev.hash_shift,
+                fe_dev.bucket_bits,
+                fe_dev.bucket_rounds,
+                fe_dev.bucket_shift,
+                fe_dev.hash_bits,
+                fe_dev.hash_shift,
             )
             self.metrics.add("fe_batches", 1)
             self.metrics.add("fe_reads", len(chunk))
@@ -897,6 +1017,10 @@ class AlignmentEngine:
             return True
         if mode == "off":
             return False
+        if self.mesh is not None:
+            # the bt graph is single-device; auto must not bypass an
+            # explicitly requested mesh front end
+            return False
         # auto: on for TPU.  Re-measured 2026-08-17 after the native
         # compact-backtrack + bucketed-lookup rounds (tpu_trials/
         # prof_pipelined.py): pipelined B=256 front end is 29.3ms and
@@ -909,19 +1033,66 @@ class AlignmentEngine:
 
         return jax.default_backend() == "tpu"
 
-    def enable_mesh(self, n_data: int = 0) -> None:
+    def enable_mesh(self, n_data: int = 0, n_index: int = 1) -> None:
         """Run the fused front end data-parallel over `n_data` local
-        devices (shard_map over a Mesh "data" axis, index replicated).
-        The host stages (backtrack, regions, extension, CIGAR) are
-        unchanged, so results match single-chip bitwise."""
+        devices (shard_map over a Mesh "data" axis).  With
+        ``n_index > 1`` the KEY/POSITION TABLES are additionally
+        sharded into key-range shards over an "index" axis (VERDICT r3
+        #6: nothing reference-sized is replicated), using the same
+        contig-range/key-range shards as decision mode; the mesh is
+        then (n_data x n_index) devices.  The host stages (backtrack,
+        regions, extension, CIGAR) are unchanged, so results match
+        single-chip bitwise (see make_sharded_front_end for the two
+        documented divergences under anchor-budget overflow)."""
         import jax
 
-        from ..parallel.mesh import make_mesh
+        from ..parallel.mesh import make_mesh, shard_index_by_key_range
 
         if n_data <= 0:
-            n_data = len(jax.devices())
-        self.mesh = make_mesh(n_data, 1)
+            n_data = len(jax.devices()) // max(n_index, 1)
+        self.mesh = make_mesh(n_data, n_index)
         self._dp_fes = {}
+        self._index_shards = None
+        if n_index > 1:
+            import jax.numpy as jnp
+
+            P = jax.sharding.PartitionSpec
+            sh_np = shard_index_by_key_range(self.index, n_index)
+            shards = {}
+            # full-CIGAR path needs only the lookup tables (the packed
+            # reference stays host-side for extension staging)
+            for nm in ("key_hi", "key_lo", "offcnt", "pos_rp", "n_keys"):
+                arr = sh_np[nm]
+                spec = P("index", *([None] * (arr.ndim - 1)))
+                shards[nm] = jax.device_put(
+                    jnp.asarray(arr),
+                    jax.sharding.NamedSharding(self.mesh, spec),
+                )
+            self._index_shards = shards
+
+    @property
+    def _fe_dev(self):
+        """DeviceIndex for front-end dispatch: the real replicated
+        tables, or an 8-element dummy when the index is sharded over
+        the mesh (enable_mesh n_index > 1) — sharded mode must never
+        trigger the replicated upload."""
+        if self._index_shards is None:
+            return self.dev
+        d = getattr(self, "_dummy_dev", None)
+        if d is None:
+            import jax.numpy as jnp
+
+            from ..index.index import DeviceIndex
+
+            z = jnp.zeros(8, jnp.uint32)
+            zi = jnp.zeros((8, 2), jnp.int32)
+            d = DeviceIndex(
+                key_hi=z, key_lo=z, offcnt=zi, pos_rp=zi, n_keys=0,
+                log2_keys=1, keys32=False,
+                bucket_start=jnp.zeros(8, jnp.int32),
+            )
+            self._dummy_dev = d
+        return d
 
     def _seed_select_params(self):
         """Effective (occ_dist, max_max_occ) for seed thinning/rescue —
@@ -947,6 +1118,28 @@ class AlignmentEngine:
             )
         statics = fe_args[15:]
         is_hpc = fe_args[3] is not None
+        if self._index_shards is not None:
+            key = ("sharded", is_hpc) + tuple(statics) + (
+                od, mmo, packed)
+            fe = self._dp_fes.get(key)
+            if fe is None:
+                (k, w, M, A, chain_params, chain_window, use_pallas,
+                 qof, _bb, _br, _bsh, _hb, _hs) = statics
+                fe = make_sharded_front_end(
+                    self.mesh, is_hpc,
+                    int(self.mesh.shape["index"]),
+                    k=k, w=w, M=M, A=A, chain_params=chain_params,
+                    chain_window=chain_window, use_pallas=use_pallas,
+                    q_occ_frac=qof,
+                    pallas_window=self.cfg.pallas_chain_window,
+                    occ_dist=od, max_max_occ=mmo, packed=packed,
+                )
+                self._dp_fes[key] = fe
+            sh = self._index_shards
+            return fe(
+                *fe_args[:6], sh["key_hi"], sh["key_lo"], sh["offcnt"],
+                sh["pos_rp"], sh["n_keys"], fe_args[14],
+            )
         key = (is_hpc,) + tuple(statics) + (od, mmo, packed,
                                             self.dev.keys32)
         fe = self._dp_fes.get(key)

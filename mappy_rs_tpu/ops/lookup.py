@@ -246,7 +246,40 @@ def collect_anchors(
         is replaced by one two-row window gather + one value gather.
 
     Returns dict with [B, A] arrays rev/rid/rpos/qpos/valid and n [B].
+
+    Composed from three stages (reused by the index-sharded mesh front
+    end, which inserts cross-shard psums between them):
+      probe_index   -> found, (off, cnt) per query minimizer
+      filter_counts -> occurrence/rescue/q_occ filtering + rep_len
+      expand_anchors-> slot expansion, position gather, lex sort
     """
+    found, oc = probe_index(
+        mins, key_hi, key_lo, offcnt, n_keys,
+        bucket_start, bucket_bits, bucket_rounds, bucket_shift,
+        keys32, hash_rows, hash_val, hash_bits, hash_shift,
+    )
+    cnt_raw = jnp.where(found, oc[..., 1], 0)
+    cnt, rep_len = filter_counts(
+        mins, qlens, found, cnt_raw, mid_occ, span,
+        q_occ_frac, occ_dist, max_max_occ,
+    )
+    out = expand_anchors(
+        mins, qlens, cnt, oc[..., 0], pos_rp, max_anchors, span
+    )
+    out["rep_len"] = rep_len
+    return out
+
+
+def probe_index(
+    mins, key_hi, key_lo, offcnt, n_keys,
+    bucket_start=None, bucket_bits=0, bucket_rounds=0, bucket_shift=0,
+    keys32=None, hash_rows=None, hash_val=None, hash_bits=0,
+    hash_shift=0,
+):
+    """Match query minimizers against the key table.
+
+    Returns (found [B, M] bool, oc [B, M, 2] int32 (offset, count));
+    oc rows are garbage where ~found."""
     q_hi, q_lo = mins["key_hi"], mins["key_lo"]
     B, M = q_hi.shape
     n_pad = offcnt.shape[0]
@@ -312,7 +345,20 @@ def collect_anchors(
         if not keys32:
             found &= key_hi[idx_c] == q_hi
     oc = offcnt[idx_c]  # [B, M, 2]: one gather for offset AND count
-    cnt_raw = jnp.where(found, oc[..., 1], 0)
+    return found, oc
+
+
+def filter_counts(
+    mins, qlens, found, cnt_raw, mid_occ, span,
+    q_occ_frac=0.0, occ_dist=0, max_max_occ=0,
+):
+    """Occurrence thinning / seed rescue / query-repeat filtering.
+
+    `cnt_raw` must be the GLOBAL per-minimizer occurrence (over every
+    index shard, when sharded) — the filters' semantics depend on it.
+    Returns (cnt [B, M] post-filter counts, rep_len [B])."""
+    q_hi, q_lo = mins["key_hi"], mins["key_lo"]
+    B, M = q_hi.shape
     # seed occurrence filter (mm_mapopt_update's mid_occ, SURVEY §2b N4)
     if occ_dist > 0 and max_max_occ > 0:
         # occ thinning / seed rescue (mm_seed_select): re-enable the
@@ -386,7 +432,14 @@ def collect_anchors(
             (n_mins.astype(jnp.float32) * q_occ_frac).astype(_I32), 10
         )
         cnt = jnp.where(q_cnt > q_thresh, 0, cnt)
-    off = oc[..., 0]
+    return cnt, rep_len
+
+
+def expand_anchors(mins, qlens, cnt, off, pos_rp, max_anchors, span):
+    """Expand per-minimizer hit runs into the sorted [B, A] anchor
+    arrays.  `cnt`/`off` are this shard's post-filter counts and
+    position offsets (zero counts where the shard has no hits)."""
+    B, M = cnt.shape
 
     # slot allocation: prefix[b, i] = anchors before minimizer slot i
     prefix = jnp.concatenate(
@@ -455,6 +508,4 @@ def collect_anchors(
         # seed hits overflowed the A budget (minimap2 has no such cap,
         # so silent truncation must at least be measurable)
         "n_raw": prefix[:, -1],
-        # per-read repetitive seed coverage (mapq attenuation input)
-        "rep_len": rep_len,
     }
