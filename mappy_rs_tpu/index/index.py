@@ -26,6 +26,12 @@ from ..config import MapOptions
 from .mmi import RawIndexData, pack_seq, unpack_seq
 
 
+#: Fibonacci multiplier for the hash-probe bucket mix (golden-ratio
+#: odd constant).  Device probes must use the same constant
+#: (ops/lookup.py probe_index).
+HASH_MIX = np.uint32(0x9E3779B1)
+
+
 def _next_pow2(n: int) -> int:
     p = 1
     while p < n:
@@ -221,14 +227,20 @@ class MinimizerIndex:
         # the ordered-linear-probing layout is a vectorized prefix max.
         use_hash = n > 0 and eff <= 31
         if use_hash:
-            t = max((2 * n - 1).bit_length(), 8)  # T >= 2n: load <= 0.5
-            keys_i64 = self.keys.astype(np.int64)
+            # slot = fib_mix(key) >> (32 - t): the raw keys are hash64
+            # outputs but under a 2k-bit mask the final mix steps
+            # degenerate (the <<31 add is erased), leaving the top bits
+            # badly striped — measured max displacement 1.3M at load
+            # 0.35 without remixing, 20 at load 0.70 with it.  Keys are
+            # placed in mixed order (np.argsort), hash_val maps a slot
+            # back to the SORTED-key index for offcnt.
+            t = max(int(n / 0.75).bit_length(), 8)
+            mixed = self.keys.astype(np.uint32) * HASH_MIX
             i = np.arange(n, dtype=np.int64)
             while True:
-                if eff >= t:
-                    h = keys_i64 >> (eff - t)
-                else:
-                    h = keys_i64 << (t - eff)
+                h_all = (mixed >> np.uint32(32 - t)).astype(np.int64)
+                order = np.argsort(h_all, kind="stable")
+                h = h_all[order]
                 slot = i + np.maximum.accumulate(h - i)
                 # the 2-row probe window covers displacement <= 128
                 if int((slot - h).max()) <= 128:
@@ -238,8 +250,8 @@ class MinimizerIndex:
             rows = T // 128 + 1
             hkeys = np.full(rows * 128, 0xFFFFFFFF, np.uint32)
             hval = np.full(rows * 128, n, np.int32)  # sentinel idx = n
-            hkeys[slot] = self.keys.astype(np.uint32)
-            hval[slot] = np.arange(n, dtype=np.int32)
+            hkeys[slot] = self.keys[order].astype(np.uint32)
+            hval[slot] = order.astype(np.int32)
             return DeviceIndex(
                 key_hi=jnp.asarray(dummy),
                 key_lo=jnp.asarray(dummy),
@@ -252,7 +264,7 @@ class MinimizerIndex:
                 hash_rows=jnp.asarray(hkeys.reshape(rows, 128)),
                 hash_val=jnp.asarray(hval[: T + 128]),
                 hash_bits=t,
-                hash_shift=eff - t,
+                hash_shift=32 - t,
             )
         key_lo = np.full(n_pad, 0xFFFFFFFF, np.uint32)
         key_lo[:n] = (self.keys & np.uint64(0xFFFFFFFF)).astype(np.uint32)

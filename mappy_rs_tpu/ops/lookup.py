@@ -289,12 +289,12 @@ def probe_index(
         keys32 = key_hi.shape[0] != key_lo.shape[0]
 
     if hash_rows is not None and hash_bits > 0:
-        # hash-probe seeding: slot h = key >> hash_shift; the key (if
-        # present) lives in [h, h+128], fully inside rows h>>7, h>>7+1.
-        if hash_shift >= 0:
-            h = (q_lo >> _U32(hash_shift)).astype(_I32)
-        else:
-            h = (q_lo << _U32(-hash_shift)).astype(_I32)
+        # hash-probe seeding: slot h = fib_mix(key) >> (32 - t) (same
+        # mix as the build, index.HASH_MIX); the key (if present)
+        # lives in [h, h+128], fully inside rows h>>7, h>>7+1.
+        h = (
+            (q_lo * _U32(0x9E3779B1)) >> _U32(hash_shift)
+        ).astype(_I32)
         # invalid slots carry the 0xFFFF... sentinel: clamp the row so
         # the window gather stays in bounds (they match nothing real —
         # empty table slots yield the idx = n_keys sentinel below)
