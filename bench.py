@@ -368,6 +368,7 @@ def _run() -> None:
     # steady-state device-pipeline seconds per front-end batch, from a
     # warm child (device execution + link; no host stages)
     probe = al.probe_front_end(10)
+    roof = al.front_end_roofline()
 
     print(
         json.dumps(
@@ -412,6 +413,27 @@ def _run() -> None:
             f"measured wall; chain-DP ~{chain_cps:.2e} cells/s "
             f"on-device\n"
         )
+        if roof:
+            # roofline accounting (SURVEY §5): v5e peak 1.97e14 bf16
+            # FLOP/s, 8.19e11 B/s HBM.  The published point: the
+            # front end is GATHER-OP-bound, not FLOP- or BW-bound —
+            # utilizations are honestly tiny and the ms/batch is set
+            # by the number of dependent gather ops (see
+            # AlignmentEngine.front_end_roofline docstring).
+            t_b = ms_thr / 1e3
+            mfu = roof["int_ops"] / t_b / 1.97e14
+            bw = roof["hbm_bytes"] / t_b / 8.19e11
+            duty_line += (
+                f"# roofline/batch (B={roof['B']} L={roof['L']} "
+                f"M={roof['M']} A={roof['A']} W={roof['window']}): "
+                f"{roof['int_ops']:.2e} int-ops, "
+                f"{roof['hbm_bytes'] / 1e6:.0f}MB HBM -> "
+                f"mfu={100 * mfu:.2f}% of v5e bf16 peak, "
+                f"hbm_bw={100 * bw:.2f}% of 819GB/s "
+                f"(gather-op-bound regime: "
+                f"~{roof['int_ops'] / t_b:.2e} int-ops/s, "
+                f"{roof['hbm_bytes'] / t_b / 1e9:.1f}GB/s achieved)\n"
+            )
     n_cpu = os.cpu_count() or 4
     print(
         f"# baseline: {baseline.get('desc', '')} = {cpu_rps:.1f} reads/s "

@@ -343,6 +343,15 @@ class Aligner:
             return self._procs.probe_front_end(n)
         return self._engine.probe_front_end(n)
 
+    def front_end_roofline(self) -> dict:
+        """Algorithmic int-op / HBM-byte cost model of one front-end
+        batch (SURVEY §5 roofline accounting); see
+        AlignmentEngine.front_end_roofline.  In multi-process mode the
+        shapes come from a warm child."""
+        if self._procs is not None:
+            return self._procs.front_end_roofline()
+        return self._engine.front_end_roofline()
+
     def reset_metrics(self) -> None:
         """Zero all engine counters/timers, including every worker
         process's.  Call after warmup() to make subsequent metrics

@@ -583,6 +583,9 @@ class AlignmentEngine:
                 fe_dev.hash_bits,
                 fe_dev.hash_shift,
             )
+            self._probe_shape = (
+                int(batch.shape[0]), int(batch.shape[1]), M, A
+            )  # for front_end_roofline
             self.metrics.add("fe_batches", 1)
             self.metrics.add("fe_reads", len(chunk))
             # device chain-kernel cell updates this dispatch (the DP
@@ -1010,6 +1013,56 @@ class AlignmentEngine:
         jax.block_until_ready(replay())
         lat = _time.perf_counter() - t0
         return [thr, lat]
+
+    def front_end_roofline(self) -> dict:
+        """Algorithmic cost model of ONE front-end device batch, for
+        roofline accounting (SURVEY §5 / VERDICT r3 missing #4): the
+        integer-op count and the HBM bytes the graph must move, from
+        the static shapes of the last dispatched batch.  Combined with
+        the measured ms/batch (probe_front_end) this yields honest
+        MFU / HBM-BW utilization figures.
+
+        Op counts are algorithmic minimums (each emitted elementwise
+        op once); HBM bytes count the gather windows plus one
+        materialization per major [B, L] sketch intermediate (~30 —
+        XLA fuses some, so this is an upper-ish estimate; the gathers
+        dominate either way).  The published conclusion matters more
+        than the third digit: the aligner front end is neither
+        FLOP-bound nor bandwidth-bound — it is GATHER-OP-bound
+        (~0.3-2 ms per dependent gather op regardless of element
+        count, tpu_trials/trial_hashprobe.py), which is why the
+        round-4 redesign minimizes gather OPs, not bytes."""
+        shape = getattr(self, "_probe_shape", None)
+        if shape is None:
+            return {}
+        B, L, M, A = shape
+        k, w = self.index.k, self.index.w
+        import jax
+
+        on_tpu = jax.default_backend() == "tpu"
+        W = (self.cfg.pallas_chain_window if on_tpu
+             else 2 * self.cfg.chain_window)
+        log2A = max(A - 1, 1).bit_length()
+        int_ops = (
+            B * L * (6 * k + 14 * w + 46)   # sketch (single-word path)
+            + B * M * 300                    # probe compare + argmax
+            + B * M * 250                    # filters (sorts, cummax)
+            + B * A * 40                     # slot expansion
+            + B * A * 6 * log2A * log2A      # anchor lex sort (bitonic)
+            + B * A * W * 12                 # chain window max-plus DP
+        )
+        hbm_bytes = (
+            B * L * (1 + 30 * 4)             # codes in + sketch interm.
+            + B * M * (256 * 4 + 4 + 8)      # hash rows + val + offcnt
+            + B * A * (8 + 8)                # meta + pos gathers
+            + B * A * 6 * 4 * 2              # anchor arrays r/w
+            + B * A * 4 * 8                  # chain anchor re-reads
+        )
+        return {
+            "B": B, "L": L, "M": M, "A": A, "window": W,
+            "int_ops": float(int_ops),
+            "hbm_bytes": float(hbm_bytes),
+        }
 
     def _bt_enabled(self) -> bool:
         mode = self.cfg.device_backtrack

@@ -79,6 +79,9 @@ def _child_main(
             if kind == "probe":
                 conn.send(("metrics", rid, eng.probe_front_end(msg[2])))
                 continue
+            if kind == "roofline":
+                conn.send(("metrics", rid, eng.front_end_roofline()))
+                continue
             if kind == "metrics_reset":
                 # steady-state separation: the bench resets after
                 # warmup so reported stage times exclude compile/
@@ -269,6 +272,18 @@ class ProcMapper:
             return payload if kind == "metrics" else []
         except Exception:  # noqa: BLE001
             return []
+
+    def front_end_roofline(self) -> dict:
+        """Cost-model shapes from child 0 (all children run identical
+        graphs); {} if unavailable."""
+        try:
+            rid = self._next_rid()
+            kind, payload = self._children[0].request(
+                rid, ("roofline", rid)
+            )
+            return payload if kind == "metrics" else {}
+        except Exception:  # noqa: BLE001
+            return {}
 
     def reset_metrics(self) -> None:
         for child in self._children:
