@@ -300,6 +300,16 @@ class AlignerConfig:
     # matched at 4 workers the host is the scarcer resource; "off"
     # suits hosts with many cores per chip.
     device_backtrack: str = "auto"
+    # fused C++ post-chain record emission (native/post_chain.cc):
+    # regions + selection + extension + finalize + mapq in one native
+    # call per batch.  False forces the stage-by-stage Python path
+    # (the parity oracle; rare reads — zdrop splits, cap overflows —
+    # always fall back to it regardless).
+    post_chain_native: bool = field(
+        default_factory=lambda: os.environ.get(
+            "MAPPY_RS_TPU_POST_CHAIN", "1"
+        ) != "0"
+    )
     # top-K chain candidate ends processed per read by the device
     # backtrack (the host path has no cap; select_sub keeps at most
     # best_n secondaries, so best_n + 3 loses nothing in practice)

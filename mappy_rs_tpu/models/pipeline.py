@@ -459,9 +459,17 @@ class AlignmentEngine:
                 8, self.SEG_LEN, occ_dist=od, max_max_occ=mmo,
                 bw_long=int(self.opt.bw_long), use_rmq=use_rmq,
             )
+        fb = self._post_chain_native(
+            list(range(len(codes))), chains,
+            np.asarray(rep_len, np.int32), codes, out, cs, md,
+        )
+        if fb is not None and not fb.any():
+            return
         jobs: List[_ExtJob] = []
         read_regions: List[Tuple[int, List[Region], int]] = []
         for ri, c in enumerate(codes):
+            if fb is not None and not fb[ri]:
+                continue
             qlen = len(c)
             regions = regions_from_compact(chains[ri], qlen, self.index.k)
             set_parent(regions, self.opt.mask_level, self.opt.mask_len)
@@ -672,9 +680,20 @@ class AlignmentEngine:
                 if not native_bt:
                     anchors_np, f, p = _decode_front_end(arr, n_np, rep_len)
 
+            fb = None
+            if use_bt or native_bt:
+                fb = self._post_chain_native(
+                    chunk, chains_np[: len(chunk)],
+                    np.asarray(rep_len[: len(chunk)], np.int32),
+                    codes, out, cs, md,
+                )
+                if fb is not None and not fb.any():
+                    return
             jobs: List[_ExtJob] = []
             read_regions: List[Tuple[int, List[Region], int]] = []
             for bi, ri in enumerate(chunk):
+                if fb is not None and not fb[bi]:
+                    continue
                 qlen = int(lens[bi])
                 if use_bt or native_bt:
                     regions = regions_from_compact(
@@ -1238,6 +1257,116 @@ class AlignmentEngine:
         return np.asarray(arr), n_np, rep_len, n_raw
 
     # ------------------------------------------------------------------
+    def _post_chain_params(self):
+        """Cached (ip, dp) param blocks for native.post_chain_batch
+        (post_chain.cc IP_* layout)."""
+        blocks = getattr(self, "_pc_blocks", None)
+        if blocks is None:
+            p = self._ext_params
+            ip = np.array(
+                [
+                    self.index.k,                       # IP_SPAN
+                    self.opt.mask_len,
+                    self.opt.best_n,
+                    self.opt.min_dp_max,
+                    p.a, p.b, p.q, p.e, p.q2, p.e2,
+                    p.sc_ambi,
+                    self.opt.end_bonus,
+                    self.opt.zdrop,
+                    self.opt.min_chain_score,
+                    1 if (self.opt.flag & _MM_F_SR) else 0,
+                    min(self.opt.bw, self.flank_band // 2),  # IP_BW
+                    self.flank_band,
+                    self.cfg.mid_band_floor,
+                    self.cfg.mid_band_slack,
+                    self.SEG_LEN,
+                    0,                                  # IP_CIGCAP (wrapper)
+                ],
+                np.int32,
+            )
+            dp = np.array(
+                [self.opt.mask_level, self.opt.pri_ratio], np.float64
+            )
+            blocks = self._pc_blocks = (ip, dp)
+        return blocks
+
+    def _post_chain_native(
+        self,
+        chunk,
+        chains_np: np.ndarray,
+        rep_len: np.ndarray,
+        codes: List[np.ndarray],
+        out: List[List[Region]],
+        cs: bool,
+        md: bool,
+    ):
+        """Fused C++ post-chain (post_chain.cc): regions + selection +
+        extension + finalize + mapq for the whole batch in ONE native
+        call, writing finished Region lists into `out`.  Returns the
+        per-read fallback mask (reads the caller must remap through the
+        Python path: zdrop splits -> inversion rescue, cap overflows),
+        or None when the fast path does not apply (splice presets, a
+        non-host extension backend, missing native lib)."""
+        from .. import native
+
+        if (
+            self.is_splice
+            or not self.cfg.post_chain_native
+            or not native.available()
+        ):
+            return None
+        backend = self.cfg.extension_backend
+        if backend == "auto":
+            backend = "host"
+        if backend != "host":
+            return None
+        ip, dpar = self._post_chain_params()
+        codes_list = [codes[ri] for ri in chunk]
+        with self.metrics.timer("extend"):
+            res = native.post_chain_batch(
+                chains_np, codes_list, rep_len,
+                self.index.ref_codes,
+                self.index.seq_offsets, self.index.seq_lens,
+                ip, dpar, cs, md,
+            )
+        if res is None:
+            return None
+        nreg, fields, cig, ncig, cs_get, md_get, fallback, stats = res
+        self.metrics.add("dp_cells", float(stats[0]))
+        with self.metrics.timer("finalize"):
+            for bi, ri in enumerate(chunk):
+                if fallback[bi]:
+                    continue
+                n = int(nreg[bi])
+                regs: List[Region] = []
+                if n:
+                    rows = fields[bi, :n].tolist()
+                    for oi, f in enumerate(rows):
+                        r = Region(
+                            rev=f[0], rid=f[1], qs=f[2], qe=f[3],
+                            rs=f[4], re=f[5], score=f[6], cnt=f[7],
+                            anchors_qpos=_EMPTY_OPS,
+                            anchors_rpos=_EMPTY_OPS,
+                        )
+                        r.id = f[8]
+                        r.parent = f[9]
+                        r.subsc = f[10]
+                        r.n_sub = f[11]
+                        r.dp_score = r.dp_max = f[12]
+                        r.dp_max2 = f[13]
+                        r.mapq = f[14]
+                        r.mlen = f[15]
+                        r.blen = f[16]
+                        r.nm = f[17]
+                        r.cigar = cig[bi, oi, : ncig[bi, oi]].copy()
+                        if cs:
+                            r.cs = cs_get(bi, oi)
+                        if md:
+                            r.md = md_get(bi, oi)
+                        regs.append(r)
+                out[ri] = regs
+        return fallback
+
     def _make_jobs(
         self, regions: List[Region], codes: np.ndarray, qlen: int
     ) -> List[_ExtJob]:

@@ -1014,9 +1014,10 @@ extern "C" {
 // score range provably fits (simd_fits); scalar otherwise.
 // One banded extension job: band fill (AVX-512 int16 when the
 // score range provably fits, scalar otherwise) + traceback.
-// Shared by extend_banded_batch (uniform W/mode) and
-// extend_jobs_batch (per-job W/mode over concatenated buffers).
-static void extend_one_job(
+// Shared by extend_banded_batch (uniform W/mode), extend_jobs_batch
+// (per-job W/mode over concatenated buffers) and post_chain.cc's
+// fused record emission (external linkage for that TU).
+void extend_one_job(
     const uint8_t* q, const uint8_t* t, int Q_, int T_, int W,
     int a, int b, int gq, int ge, int gq2, int ge2, int sc_ambi,
     int end_bonus, int mode, int zdrop,
