@@ -171,12 +171,17 @@ def main() -> None:
     if "--once" in sys.argv:
         _run()
         return
+    env = dict(os.environ)
+    # deterministic trace-time hashing: keeps the persistent compile
+    # cache key stable across processes/runs (see procpool.ProcPool)
+    env.setdefault("PYTHONHASHSEED", "0")
     for attempt, tmo in enumerate((450, 420)):
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--once"]
                 + passthru,
                 timeout=tmo,
+                env=env,
             )
             if proc.returncode == 0:
                 return
@@ -337,13 +342,15 @@ def _run() -> None:
     # ---- TPU path (multi-process: N device pipelines, one chip) ----
     t0 = time.time()
     al = Aligner(seq=genome, preset="map-ont")
-    n_procs_tpu = int(os.environ.get("MAPPY_RS_TPU_PROCS", "4"))
+    n_procs_tpu = int(os.environ.get("MAPPY_RS_TPU_PROCS", "6"))
     al._config.worker_processes = n_procs_tpu
-    # tuned round 3 (tpu_trials/sweep_procs.py): 2 proxies per child
-    # keep 2 requests interleaved on each child's pipe (cross-chunk
-    # device pipelining), 1024-read chunks let the child's depth-3
-    # software pipeline fill (4 device batches per chunk).  Calm-epoch
-    # measurements: 8732 (512:4) -> 9291 (512:8) -> 10330 (1024:8).
+    # tuned round 4: after the fused C++ post-chain cut per-child host
+    # cost to ~0.2 ms/read, 6 children on 4 cores beat 4 (9.5k -> 14.0k
+    # reads/s): each child still waits ~35ms/batch on device fetch, so
+    # oversubscription hides latency the depth-3 pipeline cannot.
+    # 8 children lose (upload serialization + core thrash: 10.5k).
+    # 2 proxies per child keep 2 chunks interleaved per pipe;
+    # 1024-read chunks fill the in-child pipeline (4 batches/chunk).
     al._config.proc_chunk = int(
         os.environ.get("MAPPY_RS_TPU_PROC_CHUNK", "1024")
     )

@@ -352,6 +352,14 @@ class AlignerConfig:
     # compiling a second tiny [8, L] graph (set in proc children where
     # trailing chunks are frequent and compiles are per-process)
     single_batch_shape: bool = False
+    # in-engine software-pipeline depth: up to depth-1 dispatched
+    # device batches in flight while one is processed on host
+    # (overridable with MAPPY_RS_TPU_DEPTH for runtime tuning)
+    pipeline_depth: int = field(
+        default_factory=lambda: int(
+            os.environ.get("MAPPY_RS_TPU_DEPTH", "3")
+        )
+    )
     # mid-segment band sizing: W = max(floor, 32*ceil((drift+slack)/32))
     # where drift = |qlen - tlen| is KNOWN from the anchors at both
     # segment ends.  The floor/slack trade DP cells (the dominant host

@@ -714,19 +714,21 @@ class AlignmentEngine:
             self._run_split_rounds(read_regions, codes)
             self._finish_reads(read_regions, codes, out, cs, md)
 
-        # software pipeline, depth 3: up to TWO dispatched batches in
-        # flight while one is processed on host.  Depth 2 left bubbles
-        # on the tunnel-attached chip: blocking round-trip latency
-        # (~47ms) is ~2x the pipelined batch time (~23ms), so jitter
-        # stalled the chip whenever exactly one batch was in flight.
+        # software pipeline, depth cfg.pipeline_depth (default 3): up
+        # to depth-1 dispatched batches in flight while one is
+        # processed on host.  Depth 2 left bubbles on the
+        # tunnel-attached chip: blocking round-trip latency (~35-47ms)
+        # is ~3x the pipelined batch time, so jitter stalled the chip
+        # whenever exactly one batch was in flight.
         from collections import deque
 
+        depth = self.cfg.pipeline_depth
         pending = deque()
         for chunk_start in range(0, B_real, B):
             pending.append(
                 stage_dispatch(idxs[chunk_start : chunk_start + B])
             )
-            if len(pending) >= 3:
+            if len(pending) >= depth:
                 stage_process(pending.popleft())
         while pending:
             stage_process(pending.popleft())

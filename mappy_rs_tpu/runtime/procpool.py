@@ -61,12 +61,30 @@ def _child_main(
         from ..index.share import load_index_dir
         from ..models.pipeline import AlignmentEngine
 
+        trace = os.environ.get("MAPPY_RS_TPU_CHILD_TRACE")
+        import time as _time
+
+        _t0 = _time.time()
+
+        def _tr(phase: str) -> None:
+            if trace:
+                import sys as _sys
+
+                print(
+                    f"# child[{os.getpid()}] +{_time.time() - _t0:6.1f}s "
+                    f"{phase}",
+                    file=_sys.stderr,
+                    flush=True,
+                )
+
         index = load_index_dir(idx_dir)
+        _tr("index mmap'd")
         eng = AlignmentEngine(index, map_opt, cfg)
         no_2nd = bool(map_opt.flag & MM_F_NO_PRINT_2ND)
         seq_names = index.seq_names
         seq_lens = index.seq_lens
         conn.send(("ready", -1, os.getpid()))
+        _first = True
         while True:
             msg = conn.recv()
             if msg is None:
@@ -91,8 +109,16 @@ def _child_main(
                 continue
             seqs, cs, md = msg[2], msg[3], msg[4]
             try:
+                if _first:
+                    _tr("first chunk recv")
+                    if trace:
+                        _ = eng.index.device  # isolate upload time
+                        _tr("index uploaded")
                 keys = list(dict.fromkeys(seqs))
                 regs = eng.map_batch(keys, cs=cs, md=md)
+                if _first:
+                    _tr("first chunk mapped")
+                    _first = False
                 table = {
                     s: regions_to_mappings(r, seq_names, seq_lens, no_2nd)
                     for s, r in zip(keys, regs)
@@ -197,19 +223,34 @@ class ProcMapper:
             cache_dir = jax.config.jax_compilation_cache_dir or ""
         except Exception:  # noqa: BLE001
             cache_dir = ""
-        for _ in range(n_procs):
-            parent_c, child_c = ctx.Pipe()
-            p = ctx.Process(
-                target=_child_main,
-                args=(
-                    child_c, self._tmp, map_opt, child_cfg, platforms,
-                    cache_dir,
-                ),
-                daemon=True,
-            )
-            p.start()
-            child_c.close()
-            self._children.append(_Child(p, parent_c))
+        # Pin the children's hash seed: per-process hash randomization
+        # perturbs a trace-time iteration order somewhere in the jit'd
+        # front end, producing a DIFFERENT HLO (and persistent-cache
+        # key) per process — every child then pays a full ~40s remote
+        # compile instead of one cache load (measured: 6 children
+        # serialized 40s apart; with a pinned seed the second process
+        # cache-hits in ~1s).
+        hash_seed = os.environ.get("PYTHONHASHSEED")
+        os.environ["PYTHONHASHSEED"] = "0"
+        try:
+            for _ in range(n_procs):
+                parent_c, child_c = ctx.Pipe()
+                p = ctx.Process(
+                    target=_child_main,
+                    args=(
+                        child_c, self._tmp, map_opt, child_cfg, platforms,
+                        cache_dir,
+                    ),
+                    daemon=True,
+                )
+                p.start()
+                child_c.close()
+                self._children.append(_Child(p, parent_c))
+        finally:
+            if hash_seed is None:
+                os.environ.pop("PYTHONHASHSEED", None)
+            else:
+                os.environ["PYTHONHASHSEED"] = hash_seed
         atexit.register(self.shutdown)
 
     def _next_rid(self) -> int:
@@ -247,19 +288,29 @@ class ProcMapper:
         return fn
 
     def warmup(self, seqs: List[str]) -> None:
-        """Broadcast one mapping chunk to EVERY child concurrently so
-        each pays its one-time costs (device index upload, compile-
-        cache load) up front.  The shared work queue alone cannot
-        guarantee this: one fast child can drain the whole warm batch
-        while the others stay cold."""
+        """Warm every child's one-time costs (device index upload,
+        compile-cache load) up front.  The shared work queue alone
+        cannot guarantee this: one fast child can drain the whole warm
+        batch while the others stay cold.
+
+        Child 0 warms ALONE first: when the persistent cache is cold
+        (first run after a device-graph change) concurrent children
+        would each pay the full remote compile — there is no
+        cross-process compile dedup — so one child populates the cache
+        and the rest load it (children share one PYTHONHASHSEED, so
+        their graphs hash to the same cache key; see __init__)."""
+        if self.n_procs > 1:
+            self.map_fn(0)(seqs)
         threads = []
-        for i in range(self.n_procs):
+        for i in range(1, self.n_procs):
             fn = self.map_fn(i)
             t = threading.Thread(target=lambda f=fn: f(seqs), daemon=True)
             t.start()
             threads.append(t)
         for t in threads:
             t.join()
+        if self.n_procs == 1:
+            self.map_fn(0)(seqs)
 
     def probe_front_end(self, n: int = 10) -> list:
         """Steady-state front-end seconds-per-batch from child 0 (all
