@@ -175,7 +175,16 @@ def main() -> None:
     # deterministic trace-time hashing: keeps the persistent compile
     # cache key stable across processes/runs (see procpool.ProcPool)
     env.setdefault("PYTHONHASHSEED", "0")
-    for attempt, tmo in enumerate((450, 420)):
+    # 560s first attempt: a congestion-epoch warmup alone can cost
+    # ~360s (remote compile-cache loads serialize behind other
+    # clients' work); killing it wastes the work AND leaves the
+    # backend busier.  Retry runs against a fully-warm cache in ~100s.
+    # Worst case 560 + 20 + 300 ~= 15 min.
+    for attempt, tmo in enumerate((560, 300)):
+        if attempt > 0:
+            # the retry must fit 300s even mid-congestion: 4 workers
+            # spawn/warm ~90s faster than 6 and still clear ~9.5k r/s
+            env.setdefault("MAPPY_RS_TPU_PROCS", "4")
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--once"]
