@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Interleaved runtime-config sweep: (procs, chunk, depth, proxies)
+configs measured round-robin in ONE process so shared-backend drift
+cancels across cycles.  Each config respawns the worker pool (cache
+warm: ~30-90s) and measures passes of the bench workload.
+
+Usage: PYTHONHASHSEED=0 python tpu_trials/sweep_runtime.py
+"""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+CONFIGS = [
+    # (name, procs, chunk, depth, proxies_per_child)
+    ("p6c1024d3", 6, 1024, 3, 2),
+    ("p6c2048d3", 6, 2048, 3, 2),
+    ("p5c1024d5", 5, 1024, 5, 2),
+    ("p7c1024d3", 7, 1024, 3, 2),
+    ("p6c1024d3x3", 6, 1024, 3, 3),
+]
+CYCLES = 2
+N_READS = 8000
+
+
+def main():
+    import os
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from bench import simulate, GENOME_LEN, READ_LEN, ERROR_RATE
+    from mappy_rs_tpu import Aligner
+
+    rng = np.random.default_rng(0)
+    genome = bytes(
+        np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, GENOME_LEN)]
+    ).decode()
+    reads, truth = simulate(
+        rng, genome, 3 * N_READS, READ_LEN, ERROR_RATE
+    )
+    payloads = [
+        [{"i": i, "seq": r}
+         for i, r in enumerate(reads[p * N_READS:(p + 1) * N_READS],
+                               start=p * N_READS)]
+        for p in range(3)
+    ]
+    al = Aligner(seq=genome, preset="map-ont")
+    results = {name: [] for name, *_ in CONFIGS}
+    for cyc in range(CYCLES):
+        for name, procs, chunk, depth, prox in CONFIGS:
+            al.enable_threading(0)
+            al._config.worker_processes = procs
+            al._config.proc_chunk = chunk
+            os.environ["MAPPY_RS_TPU_DEPTH"] = str(depth)
+            al._config.pipeline_depth = depth
+            t0 = time.time()
+            al.enable_threading(prox * procs)
+            al.warmup([p["seq"] for p in payloads[0][:256]])
+            spawn_s = time.time() - t0
+            for pi in (cyc % 3, (cyc + 1) % 3):
+                t0 = time.time()
+                n_ok = 0
+                for m, d in al.map_batch(payloads[pi]):
+                    if m and abs(m[0].target_start - truth[d["i"]]) < 100:
+                        n_ok += 1
+                dt = time.time() - t0
+                results[name].append(N_READS / dt)
+                print(f"[cyc{cyc}] {name}: {N_READS / dt:8.1f} r/s "
+                      f"({n_ok}/{N_READS} ok, spawn+warm {spawn_s:.0f}s)",
+                      flush=True)
+    print("\n=== summary (max | median over "
+          f"{2 * CYCLES} passes) ===", flush=True)
+    for name, vals in results.items():
+        v = sorted(vals)
+        print(f"{name:14s} max {v[-1]:8.1f}  med {v[len(v) // 2]:8.1f}  "
+              f"all {[round(x) for x in vals]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
