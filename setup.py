@@ -32,6 +32,7 @@ class BuildPyWithNative(build_py):
             "-Wall",
             os.path.join(src, "mappy_native.cc"),
             os.path.join(src, "front_end.cc"),
+            os.path.join(src, "post_chain.cc"),
             "-o", os.path.join(dst, "libmappy_native.so"),
         ]
         self.announce("building native runtime: " + " ".join(cmd), 2)
