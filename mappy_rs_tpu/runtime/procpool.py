@@ -300,7 +300,10 @@ class ProcMapper:
         and the rest load it (children share one PYTHONHASHSEED, so
         their graphs hash to the same cache key; see __init__)."""
         if self.n_procs > 1:
-            self.map_fn(0)(seqs)
+            try:
+                self.map_fn(0)(seqs)
+            except Exception:  # noqa: BLE001 — warmup is best-effort,
+                pass           # matching the old thread-swallowed errors
         threads = []
         for i in range(1, self.n_procs):
             fn = self.map_fn(i)
