@@ -351,15 +351,17 @@ def _run() -> None:
     # ---- TPU path (multi-process: N device pipelines, one chip) ----
     t0 = time.time()
     al = Aligner(seq=genome, preset="map-ont")
-    n_procs_tpu = int(os.environ.get("MAPPY_RS_TPU_PROCS", "6"))
+    n_procs_tpu = int(os.environ.get("MAPPY_RS_TPU_PROCS", "7"))
     al._config.worker_processes = n_procs_tpu
     # tuned round 4: after the fused C++ post-chain cut per-child host
-    # cost to ~0.2 ms/read, 6 children on 4 cores beat 4 (9.5k -> 14.0k
-    # reads/s): each child still waits ~35ms/batch on device fetch, so
-    # oversubscription hides latency the depth-3 pipeline cannot.
-    # 8 children lose (upload serialization + core thrash: 10.5k).
-    # 2 proxies per child keep 2 chunks interleaved per pipe;
-    # 1024-read chunks fill the in-child pipeline (4 batches/chunk).
+    # cost to ~0.2 ms/read, oversubscribing 4 cores hides the
+    # ~35ms/batch device-fetch latency the depth-3 pipeline cannot.
+    # Interleaved congestion-cancelling sweep
+    # (tpu_trials/sweep_runtime.py, 4 passes/config): procs 4 -> 9.5k;
+    # 6 -> med 10.9k (max 14.0k calm); 7 -> med 11.3k with the LOWEST
+    # variance (10.8-11.8k); 8 -> 10.5k.  chunk=2048 and 3 proxies
+    # both lose; 2 proxies per child keep 2 chunks interleaved per
+    # pipe; 1024-read chunks fill the in-child pipeline.
     al._config.proc_chunk = int(
         os.environ.get("MAPPY_RS_TPU_PROC_CHUNK", "1024")
     )
