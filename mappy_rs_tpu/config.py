@@ -367,13 +367,16 @@ class AlignerConfig:
     # j-i by 2, so W lanes cover a 2W-wide j-i corridor.  Values must
     # keep W a multiple of 32 (AVX-512 lane granularity); the Mosaic
     # kernels pad lanes to 128 internally.
-    # Defaults re-measured 2026-08-18 (tpu_trials + /tmp/band_diff):
-    # floor 64 / slack 34 cut total DP cells 41% with 3000/3000
-    # bit-identical Mappings and unchanged accuracy on the 5%-error
-    # 1kb workload vs the round-2 128/66 values; big in-segment indels
-    # are still covered because drift is part of the formula.
-    mid_band_floor: int = 64
-    mid_band_slack: int = 34
+    # Defaults re-measured 2026-08-20 (round 4): floor 32 / slack 2
+    # (W=32 for drift<=30, i.e. a ±32-diagonal corridor around the
+    # anchor-known drift) cut host extension 0.214 -> 0.174 ms/read
+    # with 2048/2048 accuracy and bit-identical Mappings vs the round-3
+    # 64/34 values on the 5%-error 1kb workload; big in-segment indels
+    # are still covered because drift is part of the formula, and the
+    # zdrop-split path catches what the corridor misses.  (History:
+    # round 2 ran 128/66; round 3 cut to 64/34 at 3000/3000 identical.)
+    mid_band_floor: int = 32
+    mid_band_slack: int = 2
     # 4-bit-pack the query-code upload (two codes per byte, expanded
     # on device): halves steady-state uplink bytes.  Default OFF —
     # interleaved A/B on the tunnel-attached v5e measured it SLOWER
