@@ -354,10 +354,13 @@ class AlignerConfig:
     single_batch_shape: bool = False
     # in-engine software-pipeline depth: up to depth-1 dispatched
     # device batches in flight while one is processed on host
-    # (overridable with MAPPY_RS_TPU_DEPTH for runtime tuning)
+    # (overridable with MAPPY_RS_TPU_DEPTH for runtime tuning).
+    # 4 matches the 4-batches-per-proc_chunk geometry (whole chunk in
+    # flight): measured best 15.95k r/s vs 14.3k at depth 3 and 10.0k
+    # at depth 5 (2026-08-20, procs=7).
     pipeline_depth: int = field(
         default_factory=lambda: int(
-            os.environ.get("MAPPY_RS_TPU_DEPTH", "3")
+            os.environ.get("MAPPY_RS_TPU_DEPTH", "4")
         )
     )
     # mid-segment band sizing: W = max(floor, 32*ceil((drift+slack)/32))
