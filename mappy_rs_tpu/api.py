@@ -701,6 +701,11 @@ class Aligner:
                 "Unsupported batch type, pass a list, iter, generator or tuple"
             )
         pool = self._pool
+        # reads are pushed in blocks (one work-queue lock per run, not
+        # per read); full-queue overflow falls back to the per-read
+        # back-off path inside push_work_block, byte-identical
+        block: List[str] = []
+        start_id = 0
         for id_num, item in enumerate(iter(seqs)):
             if not isinstance(item, dict):
                 raise TypeError("Element in iterable is not a dictionary")
@@ -710,7 +715,13 @@ class Aligner:
             s = item["seq"]
             if not isinstance(s, str):
                 raise ValueError("`seq` must be a string")
-            pool.push_work(res, id_num, s, back_off)
+            block.append(s)
+            if len(block) >= 1024:
+                pool.push_work_block(res, start_id, block, back_off)
+                start_id = id_num + 1
+                block = []
+        if block:
+            pool.push_work_block(res, start_id, block, back_off)
         pool.push_done_pills(res)
         return res
 

@@ -14,14 +14,24 @@ back-off, error text, out-of-order streaming) is preserved exactly.
 Each work item carries its destination iterator, so results from
 successive batches can never cross-route even while a previous batch
 is still streaming out.
-"""
+
+Block-granular plumbing (round 4): results travel between stages as
+per-chunk BLOCKS (one queue operation per mapped chunk) while every
+capacity stays accounted in READS, so the observable contract —
+50k work + 50k results + 20k channel absorbency, per-read back-off
+messages, Done-pill fan-out — is unchanged.  The previous per-read
+`queue.Queue` hops cost ~6 lock/condition round-trips per read, which
+capped the whole envelope at ~6k r/s single-threaded (~27k with 14
+threads all burning GIL on lock churn) — cycles stolen from the 4-core
+host budget that post-chain alignment needs."""
 from __future__ import annotations
 
 import queue
 import sys
 import threading
 import time
-from typing import Any, Dict, List, Tuple
+from collections import deque
+from typing import Any, Dict, List, Optional, Tuple
 
 WORK_QUEUE_CAP = 50_000  # reference: work ArrayQueue::new(50000), lib.rs:429
 RESULTS_QUEUE_CAP = 50_000  # reference: results ArrayQueue::new(50000), lib.rs:430
@@ -33,6 +43,121 @@ RESULT_CAP = 20_000  # reference: bounded channel(20000), lib.rs:950
 _DONE = ("__done__",)
 
 
+class _WorkQueue:
+    """Bounded FIFO of per-read work items with a one-lock batch drain.
+
+    Items are ``(sink, id_num, seq)`` tuples; a Done pill is
+    ``(sink, None, None)``.  Capacity counts items (reads + pills),
+    matching the reference's ArrayQueue::new(50000) slot semantics.
+    ``take_batch`` pops a same-sink run of reads in ONE lock
+    acquisition, stopping (without popping) at a pill or a foreign
+    sink — the per-item ``get_nowait`` + put-back dance this replaces
+    was the pool's dominant lock traffic."""
+
+    def __init__(self, cap: int) -> None:
+        self.cap = cap
+        self._q: deque = deque()
+        self._mu = threading.Lock()
+        self._not_empty = threading.Condition(self._mu)
+        self._not_full = threading.Condition(self._mu)
+
+    def put_nowait(self, item: tuple) -> None:
+        with self._mu:
+            if len(self._q) >= self.cap:
+                raise queue.Full
+            self._q.append(item)
+            self._not_empty.notify()
+
+    def put_nowait_block(self, items: List[tuple]) -> int:
+        """Append as many items as fit under one lock; returns the
+        count appended.  The caller handles the remainder through the
+        per-read slow path so full-queue behaviour (back-off sleeps,
+        drop messages, no-back-off raise) is byte-identical."""
+        with self._mu:
+            free = self.cap - len(self._q)
+            if free <= 0:
+                return 0
+            n = min(free, len(items))
+            self._q.extend(items[:n])
+            if n >= 2:
+                self._not_empty.notify_all()
+            else:
+                self._not_empty.notify()
+            return n
+
+    def put(self, item: tuple) -> None:
+        """Blocking append (used for Done pills)."""
+        with self._not_full:
+            while len(self._q) >= self.cap:
+                self._not_full.wait(timeout=0.2)
+            self._q.append(item)
+            self._not_empty.notify()
+
+    def take_batch(self, k: int, timeout: float):
+        """One of: ``None`` (timeout), ``(sink, None)`` (pill), or
+        ``(sink, [(id_num, seq), ...])`` — up to k same-sink reads
+        that were immediately available (no waiting to fill)."""
+        with self._not_empty:
+            if not self._q:
+                self._not_empty.wait(timeout=timeout)
+                if not self._q:
+                    return None
+            first = self._q[0]
+            sink = first[0]
+            if first[1] is None:  # Done pill
+                self._q.popleft()
+                self._not_full.notify()
+                return sink, None
+            items: List[Tuple[int, str]] = []
+            while self._q and len(items) < k:
+                nxt = self._q[0]
+                if nxt[1] is None or nxt[0] is not sink:
+                    break  # pill / next batch stays queued for its turn
+                self._q.popleft()
+                items.append((nxt[1], nxt[2]))
+            self._not_full.notify_all()
+            return sink, items
+
+
+class _BlockChannel:
+    """Bounded channel whose traffic is blocks but whose capacity is
+    accounted in reads (+1 per Done pill), preserving the reference
+    channel's absorbency.  Single consumer, multiple producers."""
+
+    def __init__(self, cap: int) -> None:
+        self.cap = cap
+        self._q: deque = deque()  # (payload, nreads)
+        self._n = 0
+        self._mu = threading.Lock()
+        self._not_empty = threading.Condition(self._mu)
+        self._not_full = threading.Condition(self._mu)
+
+    def put(self, payload, nreads: int, timeout: float) -> bool:
+        """False if capacity did not free up within ``timeout``."""
+        with self._not_full:
+            if self._n + nreads > self.cap and self._n > 0:
+                self._not_full.wait(timeout=timeout)
+                if self._n + nreads > self.cap and self._n > 0:
+                    return False
+            self._q.append((payload, nreads))
+            self._n += nreads
+            self._not_empty.notify()
+            return True
+
+    def get(self, timeout: Optional[float] = None):
+        """Next payload (a results block or ``_DONE``), or ``None`` on
+        timeout.  Capacity frees when the block leaves the queue."""
+        with self._not_empty:
+            if not self._q:
+                self._not_empty.wait(timeout=timeout)
+                if not self._q:
+                    return None
+            payload, nreads = self._q.popleft()
+            self._n -= nreads
+            self._not_full.notify_all()
+            return payload
+
+
 class AlignmentBatchResultIter:
     """Streaming iterator over batch results (lib.rs:922-992 parity).
 
@@ -41,10 +166,12 @@ class AlignmentBatchResultIter:
     untouched."""
 
     def __init__(self) -> None:
-        self.channel: "queue.Queue" = queue.Queue(maxsize=RESULT_CAP)
+        self.channel = _BlockChannel(RESULT_CAP)
         self.data: Dict[int, Dict[str, Any]] = {}
         self._n_threads = 0
         self._n_finished = 0
+        self._buf: List[tuple] = []
+        self._buf_i = 0
         # Disconnect flag: the reference's workers learn the iterator was
         # dropped through a failing channel send (lib.rs:822-826); Python
         # queues have no receiver-dropped signal, so workers poll this.
@@ -64,16 +191,22 @@ class AlignmentBatchResultIter:
 
     def __next__(self):
         while True:
+            if self._buf_i < len(self._buf):
+                mappings, id_num = self._buf[self._buf_i]
+                self._buf_i += 1
+                data = self.data.pop(id_num)
+                return mappings, data
             item = self.channel.get()
+            if item is None:
+                continue
             if item is _DONE:
                 self._n_finished += 1
                 if self._n_finished == self._n_threads:
                     self.closed = True
                     raise StopIteration
                 continue
-            mappings, id_num = item
-            data = self.data.pop(id_num)
-            return mappings, data
+            self._buf = item
+            self._buf_i = 0
 
 
 class WorkerPool:
@@ -96,8 +229,8 @@ class WorkerPool:
         self.batch_sizes = list(batch_size)
         self.map_fn = self.map_fns[0]  # back-compat alias
         self.batch_size = self.batch_sizes[0]
-        self.work: "queue.Queue" = queue.Queue(maxsize=WORK_QUEUE_CAP)
-        self.results: "queue.Queue" = queue.Queue(maxsize=RESULTS_QUEUE_CAP)
+        self.work = _WorkQueue(WORK_QUEUE_CAP)
+        self.results = _BlockChannel(RESULTS_QUEUE_CAP)
         self.stop = threading.Event()
         # epoch barrier state (the reference's dones vec + spin,
         # lib.rs:556-575): a Condition instead of threading.Barrier —
@@ -159,6 +292,24 @@ class WorkerPool:
                 f"{WORK_QUEUE_CAP}? Perhaps try `map_batch` with back_off=True?"
             )
 
+    def push_work_block(
+        self,
+        sink: AlignmentBatchResultIter,
+        start_id: int,
+        seqs: List[str],
+        back_off: bool,
+    ) -> None:
+        """Fast path for the producer's tight loop: one lock
+        acquisition for a run of reads; anything that doesn't fit
+        falls through to the per-read slow path so full-queue
+        behaviour (messages, ids, raise) is identical."""
+        items = [
+            (sink, start_id + i, s) for i, s in enumerate(seqs)
+        ]
+        n = self.work.put_nowait_block(items)
+        for sink_, id_num, s in items[n:]:
+            self.push_work(sink_, id_num, s, back_off)
+
     def push_done_pills(self, sink: AlignmentBatchResultIter) -> None:
         for _ in range(self.n_threads):
             self.work.put((sink, None, None))
@@ -168,28 +319,16 @@ class WorkerPool:
         map_fn = self.map_fns[wi]
         batch_size = self.batch_sizes[wi]
         while not self.stop.is_set():
-            try:
-                first = self.work.get(timeout=0.05)
-            except queue.Empty:
+            got = self.work.take_batch(batch_size, timeout=0.05)
+            if got is None:
                 continue
-            sink = first[0]
-            if first[1] is None:  # Done pill
-                self._put_results_q(sink, _DONE)
+            sink, items = got
+            if items is None:  # Done pill
+                self._put_results_q(sink, _DONE, 1)
                 # epoch barrier: wait until every worker saw this batch's
                 # Done so the next batch cannot mix (lib.rs:556-575)
                 self._epoch_wait()
                 continue
-            items: List[Tuple[int, str]] = [(first[1], first[2])]
-            while len(items) < batch_size:
-                try:
-                    nxt = self.work.get_nowait()
-                except queue.Empty:
-                    break
-                if nxt[1] is None or nxt[0] is not sink:
-                    # keep pills / next-batch items for the Done protocol
-                    self.work.put(nxt)
-                    break
-                items.append((nxt[1], nxt[2]))
             if sink.closed:
                 continue  # iterator dropped: discard silently
             try:
@@ -200,9 +339,11 @@ class WorkerPool:
                     file=sys.stderr,
                 )
                 continue
-            for (id_num, _), mappings in zip(items, results):
-                if not self._put_results_q(sink, (mappings, id_num)):
-                    break
+            block = [
+                (mappings, id_num)
+                for (id_num, _), mappings in zip(items, results)
+            ]
+            self._put_results_q(sink, block, len(block))
 
     def _epoch_wait(self) -> None:
         """All-workers-saw-Done rendezvous (lib.rs:556-575 semantics:
@@ -219,26 +360,26 @@ class WorkerPool:
             while self._epoch_gen == gen and not self.stop.is_set():
                 self._epoch_cv.wait(timeout=0.5)
 
-    def _put_results_q(self, sink: AlignmentBatchResultIter, item) -> bool:
-        """Worker -> results queue (cap 50,000), dropping when the
-        destination iterator is gone."""
+    def _put_results_q(
+        self, sink: AlignmentBatchResultIter, item, nreads: int
+    ) -> bool:
+        """Worker -> results queue (cap 50,000 reads), dropping when
+        the destination iterator is gone."""
         while not self.stop.is_set():
             if sink.closed and item is not _DONE:
                 return False
-            try:
-                self.results.put((sink, item), timeout=0.2)
+            if self.results.put((sink, item), nreads, timeout=0.2):
                 return True
-            except queue.Full:
-                continue
         return False
 
     def _collector_loop(self) -> None:
         """results queue -> per-batch bounded channel (lib.rs:798-839)."""
         while not self.stop.is_set():
-            try:
-                sink, item = self.results.get(timeout=0.05)
-            except queue.Empty:
+            got = self.results.get(timeout=0.05)
+            if got is None:
                 continue
+            sink, item = got
+            nreads = 1 if item is _DONE else len(item)
             while not self.stop.is_set():
                 if sink.closed:
                     if item is not _DONE:
@@ -248,11 +389,8 @@ class WorkerPool:
                             file=sys.stderr,
                         )
                     break
-                try:
-                    sink.channel.put(item, timeout=0.2)
+                if sink.channel.put(item, nreads, timeout=0.2):
                     break
-                except queue.Full:
-                    continue
 
     def shutdown(self) -> None:
         self.stop.set()
