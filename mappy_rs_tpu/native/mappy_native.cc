@@ -699,12 +699,16 @@ inline bool simd_fits(int Q, int T, int W, int a, int b, int gq, int ge,
 }
 
 inline int16_t reduce_max_epi16(__m512i v) {
-  alignas(64) int16_t tmp[32];
-  _mm512_store_si512((__m512i*)tmp, v);
-  int16_t m = tmp[0];
-  for (int i = 1; i < 32; ++i)
-    if (tmp[i] > m) m = tmp[i];
-  return m;
+  // log2 shuffle reduction (the stored 32-iteration scalar loop this
+  // replaces was a per-diagonal cost on the band fill's serial path)
+  __m256i a = _mm256_max_epi16(_mm512_castsi512_si256(v),
+                               _mm512_extracti64x4_epi64(v, 1));
+  __m128i b = _mm_max_epi16(_mm256_castsi256_si128(a),
+                            _mm256_extracti128_si256(a, 1));
+  b = _mm_max_epi16(b, _mm_shuffle_epi32(b, 0x4E));      // swap 64s
+  b = _mm_max_epi16(b, _mm_shuffle_epi32(b, 0xB1));      // swap 32s
+  b = _mm_max_epi16(b, _mm_shufflelo_epi16(b, 0xB1));    // swap 16s
+  return (int16_t)_mm_extract_epi16(b, 0);
 }
 
 // AVX-512BW band fill: 32 int16 lanes per vector, bit-identical
@@ -924,18 +928,27 @@ void band_fill_avx512(const uint8_t* q0, const uint8_t* t0, int Q, int T,
     // trackers (same scan order/tie rules as scalar: lane-ascending,
     // strict '>'): SIMD max then a short scalar pass only on improve
     {
-      __m512i vmax = vNEG;
-      for (int vd = 0; vd < W; vd += 32)
+      // Tracker fast path: the horizontal reduction only runs when a
+      // lanewise mask test says some lane beats the running best —
+      // compared against broadcast best16, so the serial per-diagonal
+      // cost in the common no-improve case is two vector compares.
+      // All decisions (strict '>', ascending-lane tie scan, zdrop
+      // entry condition) are bit-identical to the always-reduce form.
+      __m512i vmax = _mm512_loadu_si512((const __m512i*)(H1n + 0));
+      for (int vd = 32; vd < W; vd += 32)
         vmax = _mm512_max_epi16(
             vmax, _mm512_loadu_si512((const __m512i*)(H1n + vd)));
-      int16_t diag_best = reduce_max_epi16(vmax);
-      if (diag_best > best16 && d_lo <= d_hi) {
+      bool improved = false;
+      if (_mm512_cmpgt_epi16_mask(vmax, _mm512_set1_epi16(best16)) &&
+          d_lo <= d_hi) {
+        int16_t diag_best = reduce_max_epi16(vmax);
         for (int d = d_lo; d <= d_hi; ++d) {
           if (H1n[d] == diag_best) {
             best16 = diag_best;
             best_i = lo + d;
             best_j = s - (lo + d);
             best_real = true;
+            improved = true;
             break;
           }
         }
@@ -948,11 +961,23 @@ void band_fill_avx512(const uint8_t* q0, const uint8_t* t0, int Q, int T,
       }
       // zdrop with ksw2's diagonal-offset allowance (see the scalar
       // engine for the derivation; identical lane scan keeps the two
-      // paths' termination bit-identical).  diag_best >= threshold is
-      // a free early accept (allowance only grows with offset).
+      // paths' termination bit-identical).  Entry condition
+      // diag_best < best16 - zdrop is evaluated as a mask test
+      // against the broadcast threshold: if the diagonal improved
+      // best16 the condition is false by construction; otherwise any
+      // lane >= best16 - zdrop is the original free early accept.
       bool zdead = false;
-      if (mode != 0 && zdrop > 0 && best16 > JUNK_CUT16 &&
-          (int32_t)diag_best < (int32_t)best16 - zdrop) {
+      bool enter_zdrop = false;
+      if (!improved && mode != 0 && zdrop > 0 && best16 > JUNK_CUT16) {
+        const int32_t thr1 = (int32_t)best16 - zdrop - 1;  // alive if > thr1
+        if (thr1 >= 32767) {
+          enter_zdrop = true;  // no lane can reach the threshold
+        } else if (thr1 >= -32768) {
+          enter_zdrop = !_mm512_cmpgt_epi16_mask(
+              vmax, _mm512_set1_epi16((int16_t)thr1));
+        }  // thr1 < INT16_MIN: every lane >= threshold -> alive
+      }
+      if (enter_zdrop) {
         int32_t e_adj = (gq2 > 0 && ge2 < ge) ? ge2 : ge;
         int32_t bd = best_i - best_j;
         zdead = true;
