@@ -711,65 +711,317 @@ inline int16_t reduce_max_epi16(__m512i v) {
   return (int16_t)_mm_extract_epi16(b, 0);
 }
 
+// Broadcast scoring constants shared by every job of one aligner (the
+// job mix varies only Q/T/W/mode; a..sc_ambi are the preset's).
+struct Band512Consts {
+  __m512i vNEG, vgq, vge, vgq2, vge2, va, vnb, vnambi, v4, v1, v2, v3,
+      vsrc4, vE1C, vE2C, vF1C, vF2C, viota;
+  void init(int a, int b, int gq, int ge, int gq2, int ge2, int sc_ambi) {
+    vNEG = _mm512_set1_epi16(NEG16);
+    vgq = _mm512_set1_epi16((int16_t)gq);
+    vge = _mm512_set1_epi16((int16_t)ge);
+    vgq2 = _mm512_set1_epi16((int16_t)gq2);
+    vge2 = _mm512_set1_epi16((int16_t)ge2);
+    va = _mm512_set1_epi16((int16_t)a);
+    vnb = _mm512_set1_epi16((int16_t)-b);
+    vnambi = _mm512_set1_epi16((int16_t)-sc_ambi);
+    v4 = _mm512_set1_epi16(4);
+    v1 = _mm512_set1_epi16(1);
+    v2 = _mm512_set1_epi16(2);
+    v3 = _mm512_set1_epi16(3);
+    vsrc4 = _mm512_set1_epi16(4);
+    vE1C = _mm512_set1_epi16(E1_CONT);
+    vE2C = _mm512_set1_epi16(E2_CONT);
+    vF1C = _mm512_set1_epi16(F1_CONT);
+    vF2C = _mm512_set1_epi16(F2_CONT);
+    alignas(64) int16_t iota_arr[32];
+    for (int i = 0; i < 32; ++i) iota_arr[i] = (int16_t)i;
+    viota = _mm512_load_si512((const __m512i*)iota_arr);
+  }
+};
+
 // AVX-512BW band fill: 32 int16 lanes per vector, bit-identical
 // observable outputs to band_fill_scalar (dir bytes for all in-band
 // lanes, trackers over real cells; junk-valued trackers are mapped
 // back to the NEGI "unreachable" domain at the end).
-void band_fill_avx512(const uint8_t* q0, const uint8_t* t0, int Q, int T,
-                      int W, int a, int b, int gq, int ge, int gq2,
-                      int ge2, int sc_ambi, int mode, int zdrop,
-                      uint8_t* dir_out, Trackers* tk) {
-  const int S = Q + T - 1;
-  // padded sequences: q read at lo+d (d<W) -> [0, Q+W); t read via a
-  // reversed copy so the anti-diagonal access t[s-lo-d] is forward in
-  // d: trev[T-1-j], index = (T-1-s+lo) + d which can wander +-W for
-  // out-of-band lanes -> W+64 slack of 'N' (4) on both sides.
-  thread_local std::vector<uint8_t> qb, tr;
-  qb.assign(Q + W + 64, 4);
-  tr.assign(T + 2 * (W + 64), 4);
-  memcpy(qb.data(), q0, Q);
-  uint8_t* trv = tr.data() + W + 64;
-  for (int j = 0; j < T; ++j) trv[j] = t0[T - 1 - j];
-  // state rows (int16) with 32-lane pads both sides; pads hold NEG16
-  // forever (stores only touch [0, W)), so edge loads at d-1/d+1 read
-  // the same sentinel the scalar engine keeps
-  const int PW = W + 64;
-  thread_local std::vector<int16_t> buf;
-  buf.assign((size_t)11 * PW, NEG16);
-  int16_t* rows[11];
-  for (int r = 0; r < 11; ++r) rows[r] = buf.data() + (size_t)r * PW + 32;
-  int16_t *H1 = rows[0], *E1v = rows[1], *E2v = rows[2], *F1v = rows[3],
-          *F2v = rows[4], *H2 = rows[5], *H1n = rows[6], *E1n = rows[7],
-          *E2n = rows[8], *F1n = rows[9], *F2n = rows[10];
-  auto gap = [&](long l) {
+//
+// Factored as init()/step()/finish() so TWO independent jobs can run
+// with their anti-diagonal loops interleaved (band_fill_avx512_pair):
+// each diagonal depends serially on the previous one, so a single job
+// leaves the core's OoO window half idle at W=32 — two independent
+// dependency chains in one loop hide that latency.  step() computes
+// exactly one diagonal and makes exactly the decisions the single-job
+// loop made, so pairing cannot change any output.
+struct BandFill512 {
+  const uint8_t *q0, *t0;
+  int Q, T, W, mode, zdrop;
+  int a, b, gq, ge, gq2, ge2, sc_ambi;
+  uint8_t* dir_out;
+  int S;
+  uint8_t* qb;
+  uint8_t* trv;
+  int16_t *H1, *E1v, *E2v, *F1v, *F2v, *H2, *H1n, *E1n, *E2n, *F1n, *F2n;
+  int16_t best16, end16, g16;
+  int32_t best_i, best_j, g_j;
+  bool best_real, g_real, end_real;
+  int lo1, lo2;
+  // register-resident W=32 state (step32): at W=32 every row is ONE
+  // vector, so the memory round-trip per diagonal (store five rows,
+  // reload them at ±1-lane offsets next diagonal — a partial-overlap
+  // store-forward stall per load) is replaced by register moves and
+  // vpermw lane shifts.  Values are identical to the memory rows.
+  bool reg_on;
+  __m512i rH1, rH2, rE1, rE2, rF1, rF2;
+
+  int32_t gap(long l) const {
     long g1 = gq + l * ge, g2 = gq2 + l * ge2;
     return (int32_t)(g1 < g2 ? g1 : g2);
-  };
-  const __m512i vNEG = _mm512_set1_epi16(NEG16);
-  const __m512i vgq = _mm512_set1_epi16((int16_t)gq);
-  const __m512i vge = _mm512_set1_epi16((int16_t)ge);
-  const __m512i vgq2 = _mm512_set1_epi16((int16_t)gq2);
-  const __m512i vge2 = _mm512_set1_epi16((int16_t)ge2);
-  const __m512i va = _mm512_set1_epi16((int16_t)a);
-  const __m512i vnb = _mm512_set1_epi16((int16_t)-b);
-  const __m512i vnambi = _mm512_set1_epi16((int16_t)-sc_ambi);
-  const __m512i v4 = _mm512_set1_epi16(4);
-  const __m512i v1 = _mm512_set1_epi16(1);
-  const __m512i v2 = _mm512_set1_epi16(2);
-  const __m512i v3 = _mm512_set1_epi16(3);
-  const __m512i vsrc4 = _mm512_set1_epi16(4);
-  const __m512i vE1C = _mm512_set1_epi16(E1_CONT);
-  const __m512i vE2C = _mm512_set1_epi16(E2_CONT);
-  const __m512i vF1C = _mm512_set1_epi16(F1_CONT);
-  const __m512i vF2C = _mm512_set1_epi16(F2_CONT);
-  alignas(64) int16_t iota_arr[32];
-  for (int i = 0; i < 32; ++i) iota_arr[i] = (int16_t)i;
-  const __m512i viota = _mm512_load_si512((const __m512i*)iota_arr);
-  int16_t best16 = NEG16, end16 = NEG16, g16 = NEG16;
-  int32_t best_i = 0, best_j = 0, g_j = 0;
-  bool best_real = false, g_real = false, end_real = false;
-  int lo1 = 0, lo2 = 0;
-  for (int s = 0; s < S; ++s) {
+  }
+
+  void init(const uint8_t* q0_, const uint8_t* t0_, int Q_, int T_,
+            int W_, int a_, int b_, int gq_, int ge_, int gq2_, int ge2_,
+            int sc_ambi_, int mode_, int zdrop_, uint8_t* dir, int slot) {
+    q0 = q0_; t0 = t0_; Q = Q_; T = T_; W = W_;
+    a = a_; b = b_; gq = gq_; ge = ge_; gq2 = gq2_; ge2 = ge2_;
+    sc_ambi = sc_ambi_; mode = mode_; zdrop = zdrop_; dir_out = dir;
+    S = Q + T - 1;
+    // padded sequences: q read at lo+d (d<W) -> [0, Q+W); t read via a
+    // reversed copy so the anti-diagonal access t[s-lo-d] is forward in
+    // d: trev[T-1-j], index = (T-1-s+lo) + d which can wander +-W for
+    // out-of-band lanes -> W+64 slack of 'N' (4) on both sides.
+    // Scratch is slot-indexed so a pair of in-flight jobs never share.
+    thread_local std::vector<uint8_t> qb_s[2], tr_s[2];
+    thread_local std::vector<int16_t> buf_s[2];
+    auto& qbv = qb_s[slot];
+    auto& trr = tr_s[slot];
+    auto& buf = buf_s[slot];
+    qbv.assign(Q + W + 64, 4);
+    trr.assign(T + 2 * (W + 64), 4);
+    memcpy(qbv.data(), q0, Q);
+    qb = qbv.data();
+    trv = trr.data() + W + 64;
+    for (int j = 0; j < T; ++j) trv[j] = t0[T - 1 - j];
+    // state rows (int16) with 32-lane pads both sides; pads hold NEG16
+    // forever (stores only touch [0, W)), so edge loads at d-1/d+1 read
+    // the same sentinel the scalar engine keeps
+    const int PW = W + 64;
+    buf.assign((size_t)11 * PW, NEG16);
+    int16_t* rows[11];
+    for (int r = 0; r < 11; ++r) rows[r] = buf.data() + (size_t)r * PW + 32;
+    H1 = rows[0]; E1v = rows[1]; E2v = rows[2]; F1v = rows[3];
+    F2v = rows[4]; H2 = rows[5]; H1n = rows[6]; E1n = rows[7];
+    E2n = rows[8]; F1n = rows[9]; F2n = rows[10];
+    best16 = NEG16; end16 = NEG16; g16 = NEG16;
+    best_i = 0; best_j = 0; g_j = 0;
+    best_real = false; g_real = false; end_real = false;
+    lo1 = 0; lo2 = 0;
+    reg_on = false;
+  }
+
+  // lane l <- x[l-1] (lane 0 <- NEG16) / lane l <- x[l+1] (lane 31 <-
+  // NEG16): the register forms of the memory path's ±1-lane offset
+  // loads, which read the NEG16 pad lanes at the row edges.
+  static inline __m512i shr1(__m512i x, const __m512i& vNEG) {
+    alignas(64) static const int16_t IDXM1[32] = {
+        0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+        16, 17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30};
+    __m512i idx = _mm512_load_si512((const __m512i*)IDXM1);
+    return _mm512_mask_mov_epi16(_mm512_permutexvar_epi16(idx, x),
+                                 (__mmask32)1u, vNEG);
+  }
+  static inline __m512i shl1(__m512i x, const __m512i& vNEG) {
+    alignas(64) static const int16_t IDXP1[32] = {
+        1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17,
+        18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 31};
+    __m512i idx = _mm512_load_si512((const __m512i*)IDXP1);
+    return _mm512_mask_mov_epi16(_mm512_permutexvar_epi16(idx, x),
+                                 (__mmask32)0x80000000u, vNEG);
+  }
+
+  void enter_reg() {
+    rH1 = _mm512_loadu_si512((const __m512i*)H1);
+    rH2 = _mm512_loadu_si512((const __m512i*)H2);
+    rE1 = _mm512_loadu_si512((const __m512i*)E1v);
+    rE2 = _mm512_loadu_si512((const __m512i*)E2v);
+    rF1 = _mm512_loadu_si512((const __m512i*)F1v);
+    rF2 = _mm512_loadu_si512((const __m512i*)F2v);
+    reg_on = true;
+  }
+
+  // One anti-diagonal, W=32 register-resident.  Same decisions, same
+  // dir bytes, same tracker updates as step(); only the row storage
+  // differs.  Callable once s >= 34 (border fixups impossible: at
+  // W=32 the i==0 / j==0 lanes leave the band by s=33) and d2 == 1
+  // (band_lo advances by exactly 1 per two diagonals past the clamp).
+  // Rows are passed by reference so the drivers can keep them in
+  // LOCALS across the whole loop — always_inline makes them live in
+  // zmm registers instead of bouncing through the struct every call.
+  __attribute__((always_inline)) inline bool step32r(
+      int s, const Band512Consts& C, __m512i& rH1, __m512i& rH2,
+      __m512i& rE1, __m512i& rE2, __m512i& rF1, __m512i& rF2) {
+    const __m512i vNEG = C.vNEG;
+    int lo = band_lo(s, Q, T, 32);
+    int d1 = lo - lo1;
+    int i_min = s - (T - 1) > lo ? s - (T - 1) : lo;
+    int i_max = s < Q - 1 ? s : Q - 1;
+    int d_lo = i_min - lo, d_hi = i_max - lo;
+    if (d_lo < 0) d_lo = 0;
+    if (d_hi > 31) d_hi = 31;
+    uint8_t* drow = dir_out + (int64_t)s * 32;
+    if (d_lo > d_hi) {
+      rH2 = rH1;
+      rH1 = vNEG; rE1 = vNEG; rE2 = vNEG; rF1 = vNEG; rF2 = vNEG;
+      lo2 = lo1;
+      lo1 = lo;
+      return mode != 0 && zdrop > 0 && best16 > JUNK_CUT16 &&
+             NEG16 < best16 - zdrop;
+    }
+    // operand rows via lane shifts (ou = d1-1, ol = d1, od = d2-1 = 0)
+    __m512i H_up, F1_up, F2_up, H_left, E1_left, E2_left;
+    if (d1 == 0) {
+      H_up = shr1(rH1, vNEG);
+      F1_up = shr1(rF1, vNEG);
+      F2_up = shr1(rF2, vNEG);
+      H_left = rH1; E1_left = rE1; E2_left = rE2;
+    } else {
+      H_up = rH1; F1_up = rF1; F2_up = rF2;
+      H_left = shl1(rH1, vNEG);
+      E1_left = shl1(rE1, vNEG);
+      E2_left = shl1(rE2, vNEG);
+    }
+    const __m512i H_diag = rH2;
+    __m512i e1o = _mm512_sub_epi16(H_left, C.vgq);
+    __mmask32 m_e1c = _mm512_cmpgt_epi16_mask(E1_left, e1o);
+    __m512i e1 = _mm512_sub_epi16(_mm512_max_epi16(E1_left, e1o), C.vge);
+    __m512i e2o = _mm512_sub_epi16(H_left, C.vgq2);
+    __mmask32 m_e2c = _mm512_cmpgt_epi16_mask(E2_left, e2o);
+    __m512i e2 = _mm512_sub_epi16(_mm512_max_epi16(E2_left, e2o), C.vge2);
+    __m512i f1o = _mm512_sub_epi16(H_up, C.vgq);
+    __mmask32 m_f1c = _mm512_cmpgt_epi16_mask(F1_up, f1o);
+    __m512i f1 = _mm512_sub_epi16(_mm512_max_epi16(F1_up, f1o), C.vge);
+    __m512i f2o = _mm512_sub_epi16(H_up, C.vgq2);
+    __mmask32 m_f2c = _mm512_cmpgt_epi16_mask(F2_up, f2o);
+    __m512i f2 = _mm512_sub_epi16(_mm512_max_epi16(F2_up, f2o), C.vge2);
+    __m512i qv = _mm512_cvtepu8_epi16(
+        _mm256_loadu_si256((const __m256i*)(qb + lo)));
+    __m512i tv = _mm512_cvtepu8_epi16(
+        _mm256_loadu_si256((const __m256i*)(trv + (T - 1 - s + lo))));
+    __mmask32 m_eq = _mm512_cmpeq_epi16_mask(qv, tv);
+    __mmask32 m_amb = _mm512_cmpeq_epi16_mask(qv, C.v4) |
+                      _mm512_cmpeq_epi16_mask(tv, C.v4);
+    __m512i pair = _mm512_mask_mov_epi16(C.vnb, m_eq, C.va);
+    pair = _mm512_mask_mov_epi16(pair, m_amb, C.vnambi);
+    __m512i h = _mm512_add_epi16(H_diag, pair);
+    __m512i src = _mm512_setzero_si512();
+    __mmask32 m;
+    m = _mm512_cmpgt_epi16_mask(e1, h);
+    h = _mm512_mask_mov_epi16(h, m, e1);
+    src = _mm512_mask_mov_epi16(src, m, C.v1);
+    m = _mm512_cmpgt_epi16_mask(e2, h);
+    h = _mm512_mask_mov_epi16(h, m, e2);
+    src = _mm512_mask_mov_epi16(src, m, C.v2);
+    m = _mm512_cmpgt_epi16_mask(f1, h);
+    h = _mm512_mask_mov_epi16(h, m, f1);
+    src = _mm512_mask_mov_epi16(src, m, C.v3);
+    m = _mm512_cmpgt_epi16_mask(f2, h);
+    h = _mm512_mask_mov_epi16(h, m, f2);
+    src = _mm512_mask_mov_epi16(src, m, C.vsrc4);
+    __m512i dirw = src;
+    dirw = _mm512_or_si512(dirw, _mm512_maskz_mov_epi16(m_e1c, C.vE1C));
+    dirw = _mm512_or_si512(dirw, _mm512_maskz_mov_epi16(m_e2c, C.vE2C));
+    dirw = _mm512_or_si512(dirw, _mm512_maskz_mov_epi16(m_f1c, C.vF1C));
+    dirw = _mm512_or_si512(dirw, _mm512_maskz_mov_epi16(m_f2c, C.vF2C));
+    const __m512i vdlo = _mm512_set1_epi16((int16_t)d_lo);
+    const __m512i vdhi = _mm512_set1_epi16((int16_t)d_hi);
+    __mmask32 mband = _mm512_cmple_epi16_mask(vdlo, C.viota) &
+                      _mm512_cmple_epi16_mask(C.viota, vdhi);
+    rH2 = rH1;
+    rH1 = _mm512_mask_mov_epi16(vNEG, mband, h);
+    rE1 = _mm512_mask_mov_epi16(vNEG, mband, e1);
+    rE2 = _mm512_mask_mov_epi16(vNEG, mband, e2);
+    rF1 = _mm512_mask_mov_epi16(vNEG, mband, f1);
+    rF2 = _mm512_mask_mov_epi16(vNEG, mband, f2);
+    _mm256_storeu_si256(
+        (__m256i*)drow,
+        _mm512_cvtepi16_epi8(_mm512_maskz_mov_epi16(mband, dirw)));
+    // trackers (identical decisions to step(); the improve/zdrop slow
+    // paths spill the single row to the stack to scan lanes)
+    alignas(64) int16_t spill[32];
+    bool improved = false;
+    if (_mm512_cmpgt_epi16_mask(rH1, _mm512_set1_epi16(best16))) {
+      // first (lowest-d) lane holding the diagonal max — the same
+      // ascending-lane tie rule as the scalar scan.  Out-of-band
+      // lanes are NEG16 < diag_best so the cmpeq mask cannot hit them.
+      int16_t diag_best = reduce_max_epi16(rH1);
+      __mmask32 meq =
+          _mm512_cmpeq_epi16_mask(rH1, _mm512_set1_epi16(diag_best));
+      int d = (int)_tzcnt_u32((uint32_t)meq);
+      best16 = diag_best;
+      best_i = lo + d;
+      best_j = s - (lo + d);
+      best_real = true;
+      improved = true;
+    }
+    int d_last = (Q - 1) - lo;
+    if (d_last >= d_lo && d_last <= d_hi) {
+      _mm512_store_si512((__m512i*)spill, rH1);
+      int16_t hh = spill[d_last];
+      if (hh > g16) { g16 = hh; g_j = s - (Q - 1); g_real = true; }
+      if (s == S - 1) { end16 = hh; end_real = true; }
+    }
+    bool zdead = false;
+    bool enter_zdrop = false;
+    if (!improved && mode != 0 && zdrop > 0 && best16 > JUNK_CUT16) {
+      const int32_t thr1 = (int32_t)best16 - zdrop - 1;
+      if (thr1 >= 32767) {
+        enter_zdrop = true;
+      } else if (thr1 >= -32768) {
+        enter_zdrop = !_mm512_cmpgt_epi16_mask(
+            rH1, _mm512_set1_epi16((int16_t)thr1));
+      }
+    }
+    if (enter_zdrop) {
+      int32_t e_adj = (gq2 > 0 && ge2 < ge) ? ge2 : ge;
+      int32_t bd = best_i - best_j;
+      zdead = true;
+      _mm512_store_si512((__m512i*)spill, rH1);
+      for (int d = d_lo; d <= d_hi; ++d) {
+        int32_t off = 2 * (lo + d) - s - bd;
+        if (off < 0) off = -off;
+        if ((int32_t)spill[d] >= (int32_t)best16 - zdrop - e_adj * off) {
+          zdead = false;
+          break;
+        }
+      }
+    }
+    lo2 = lo1;
+    lo1 = lo;
+    return zdead;
+  }
+
+  // step() for the fixup-capable prefix, step32r on struct members
+  // past it (W=32 only).  The pair/single drivers below instead keep
+  // the rows in loop-local zmm registers; this member-backed form is
+  // the fallback shape.
+  inline bool step_auto(int s, const Band512Consts& C) {
+    if (W == 32) {
+      if (!reg_on && s >= 34) enter_reg();
+      if (reg_on)
+        return step32r(s, C, rH1, rH2, rE1, rE2, rF1, rF2);
+    }
+    return step(s, C);
+  }
+
+  // One anti-diagonal; returns true when the fill terminated (zdrop).
+  inline bool step(int s, const Band512Consts& C) {
+    const __m512i vNEG = C.vNEG;
+    const __m512i vgq = C.vgq, vge = C.vge, vgq2 = C.vgq2, vge2 = C.vge2;
+    const __m512i va = C.va, vnb = C.vnb, vnambi = C.vnambi;
+    const __m512i v4 = C.v4, v1 = C.v1, v2 = C.v2, v3 = C.v3;
+    const __m512i vsrc4 = C.vsrc4;
+    const __m512i vE1C = C.vE1C, vE2C = C.vE2C, vF1C = C.vF1C,
+                  vF2C = C.vF2C;
+    const __m512i viota = C.viota;
     int lo = band_lo(s, Q, T, W);
     int d1 = lo - lo1;
     int d2 = lo - lo2;
@@ -780,7 +1032,7 @@ void band_fill_avx512(const uint8_t* q0, const uint8_t* t0, int Q, int T,
     if (d_hi > W - 1) d_hi = W - 1;
     const int ou = d1 - 1, ol = d1, od = d2 - 1;
     uint8_t* drow = dir_out + (int64_t)s * W;
-    const uint8_t* qrow = qb.data() + lo;
+    const uint8_t* qrow = qb + lo;
     const uint8_t* trow = trv + (T - 1 - s + lo);  // + d, forward
     if (d_lo > d_hi) {
       // empty diagonal (band degenerated past the matrix corner):
@@ -804,10 +1056,8 @@ void band_fill_avx512(const uint8_t* q0, const uint8_t* t0, int Q, int T,
       lo1 = lo;
       // scalar parity: an empty diagonal yields diag_best == sentinel,
       // which trips zdrop exactly when the running best is real
-      if (mode != 0 && zdrop > 0 && best16 > JUNK_CUT16 &&
-          NEG16 < best16 - zdrop)
-        break;
-      continue;
+      return mode != 0 && zdrop > 0 && best16 > JUNK_CUT16 &&
+             NEG16 < best16 - zdrop;
     }
     const __m512i vdlo = _mm512_set1_epi16((int16_t)d_lo);
     const __m512i vdhi = _mm512_set1_epi16((int16_t)d_hi);
@@ -998,18 +1248,97 @@ void band_fill_avx512(const uint8_t* q0, const uint8_t* t0, int Q, int T,
       std::swap(F2v, F2n);
       lo2 = lo1;
       lo1 = lo;
-      if (zdead) break;
+      return zdead;
     }
   }
-  // map junk-domain tracker values back to the int32 "unreachable"
-  // sentinel so the shared epilogue's NEGI/2 reachability tests
-  // decide exactly as the scalar engine's
-  tk->best_sc = (!best_real || best16 <= JUNK_CUT16) ? NEGI_BAND : best16;
-  tk->best_i = best_i;
-  tk->best_j = best_j;
-  tk->g_sc = (!g_real || g16 <= JUNK_CUT16) ? NEGI_BAND : g16;
-  tk->g_j = g_j;
-  tk->end_sc = (!end_real || end16 <= JUNK_CUT16) ? NEGI_BAND : end16;
+
+  void finish(Trackers* tk) const {
+    // map junk-domain tracker values back to the int32 "unreachable"
+    // sentinel so the shared epilogue's NEGI/2 reachability tests
+    // decide exactly as the scalar engine's
+    tk->best_sc = (!best_real || best16 <= JUNK_CUT16) ? NEGI_BAND : best16;
+    tk->best_i = best_i;
+    tk->best_j = best_j;
+    tk->g_sc = (!g_real || g16 <= JUNK_CUT16) ? NEGI_BAND : g16;
+    tk->g_j = g_j;
+    tk->end_sc = (!end_real || end16 <= JUNK_CUT16) ? NEGI_BAND : end16;
+  }
+};
+
+void band_fill_avx512(const uint8_t* q0, const uint8_t* t0, int Q, int T,
+                      int W, int a, int b, int gq, int ge, int gq2,
+                      int ge2, int sc_ambi, int mode, int zdrop,
+                      uint8_t* dir_out, Trackers* tk) {
+  Band512Consts C;
+  C.init(a, b, gq, ge, gq2, ge2, sc_ambi);
+  BandFill512 J;
+  J.init(q0, t0, Q, T, W, a, b, gq, ge, gq2, ge2, sc_ambi, mode, zdrop,
+         dir_out, 0);
+  int s = 0;
+  bool done = false;
+  for (; s < J.S && !(W == 32 && s >= 34); ++s)
+    if (J.step(s, C)) { done = true; break; }
+  if (!done && s < J.S) {
+    // W == 32 register loop: rows live in locals (zmm) for the whole
+    // remaining sweep
+    J.enter_reg();
+    __m512i h1 = J.rH1, h2 = J.rH2, e1 = J.rE1, e2 = J.rE2,
+            f1 = J.rF1, f2 = J.rF2;
+    for (; s < J.S; ++s)
+      if (J.step32r(s, C, h1, h2, e1, e2, f1, f2)) break;
+  }
+  J.finish(tk);
+}
+
+// Two independent jobs, anti-diagonal loops interleaved: the serial
+// diagonal->diagonal dependency chain of one W=32 job underuses the
+// OoO core; two chains in one loop overlap.  Each job runs the same
+// step() as the single driver, on its own scratch slot, so outputs
+// are bit-identical to two sequential fills.
+void band_fill_avx512_pair(
+    const uint8_t* q1, const uint8_t* t1, int Q1, int T1, int W1,
+    int mode1, uint8_t* dir1, Trackers* tk1,
+    const uint8_t* q2, const uint8_t* t2, int Q2, int T2, int W2,
+    int mode2, uint8_t* dir2, Trackers* tk2,
+    int a, int b, int gq, int ge, int gq2, int ge2, int sc_ambi,
+    int zdrop) {
+  Band512Consts C;
+  C.init(a, b, gq, ge, gq2, ge2, sc_ambi);
+  BandFill512 JA, JB;
+  JA.init(q1, t1, Q1, T1, W1, a, b, gq, ge, gq2, ge2, sc_ambi, mode1,
+          zdrop, dir1, 0);
+  JB.init(q2, t2, Q2, T2, W2, a, b, gq, ge, gq2, ge2, sc_ambi, mode2,
+          zdrop, dir2, 1);
+  bool dA = false, dB = false;
+  // rows of both jobs in loop-locals: 12 zmm registers + temporaries
+  // fit the 32-register file, so the two dependency chains interleave
+  // without touching memory between diagonals
+  __m512i aH1{}, aH2{}, aE1{}, aE2{}, aF1{}, aF2{};
+  __m512i bH1{}, bH2{}, bE1{}, bE2{}, bF1{}, bF2{};
+  for (int s = 0; !(dA || s >= JA.S) || !(dB || s >= JB.S); ++s) {
+    if (!dA && s < JA.S) {
+      if (JA.W == 32 && !JA.reg_on && s >= 34) {
+        JA.enter_reg();
+        aH1 = JA.rH1; aH2 = JA.rH2; aE1 = JA.rE1; aE2 = JA.rE2;
+        aF1 = JA.rF1; aF2 = JA.rF2;
+      }
+      dA = JA.reg_on
+               ? JA.step32r(s, C, aH1, aH2, aE1, aE2, aF1, aF2)
+               : JA.step(s, C);
+    }
+    if (!dB && s < JB.S) {
+      if (JB.W == 32 && !JB.reg_on && s >= 34) {
+        JB.enter_reg();
+        bH1 = JB.rH1; bH2 = JB.rH2; bE1 = JB.rE1; bE2 = JB.rE2;
+        bF1 = JB.rF1; bF2 = JB.rF2;
+      }
+      dB = JB.reg_on
+               ? JB.step32r(s, C, bH1, bH2, bE1, bE2, bF1, bF2)
+               : JB.step(s, C);
+    }
+  }
+  JA.finish(tk1);
+  JB.finish(tk2);
 }
 
 #endif  // MAPPY_AVX512
@@ -1042,12 +1371,12 @@ extern "C" {
 // Shared by extend_banded_batch (uniform W/mode), extend_jobs_batch
 // (per-job W/mode over concatenated buffers) and post_chain.cc's
 // fused record emission (external linkage for that TU).
-void extend_one_job(
+static void extend_one_job_impl(
     const uint8_t* q, const uint8_t* t, int Q_, int T_, int W,
     int a, int b, int gq, int ge, int gq2, int ge2, int sc_ambi,
     int end_bonus, int mode, int zdrop,
     int32_t* ops_out, int32_t* out_n1, int max_ops,
-    int32_t* out_info4) {
+    int32_t* out_info4, const uint8_t* pre_dir, const Trackers* pre_tk) {
   const int32_t NEGI = NEGI_BAND;
   {
     int Q = Q_, T = T_;
@@ -1057,24 +1386,32 @@ void extend_one_job(
     info[0] = info[1] = info[2] = info[3] = 0;
     if (Q <= 0 || T <= 0) return;
     int S = Q + T - 1;
-    // reusable per-thread dir buffer: the AVX-512 fill writes every
-    // walkable lane itself (no zero-init needed); the scalar fill
-    // only writes in-band lanes, so clear first on that path
-    thread_local std::vector<uint8_t> dirbuf;
-    if (dirbuf.size() < (size_t)S * W) dirbuf.resize((size_t)S * W);
-    uint8_t* dir = dirbuf.data();
+    const uint8_t* dir;
     Trackers tkv;
+    if (pre_dir != nullptr) {
+      // fill already done (interleaved pair path): walk it directly
+      dir = pre_dir;
+      tkv = *pre_tk;
+    } else {
+      // reusable per-thread dir buffer: the AVX-512 fill writes every
+      // walkable lane itself (no zero-init needed); the scalar fill
+      // only writes in-band lanes, so clear first on that path
+      thread_local std::vector<uint8_t> dirbuf;
+      if (dirbuf.size() < (size_t)S * W) dirbuf.resize((size_t)S * W);
+      uint8_t* dirw = dirbuf.data();
 #if defined(MAPPY_AVX512)
-    if (!g_force_scalar_band &&
-        simd_fits(Q, T, W, a, b, gq, ge, gq2, ge2, sc_ambi, end_bonus)) {
-      band_fill_avx512(q, t, Q, T, W, a, b, gq, ge, gq2, ge2, sc_ambi,
-                       mode, zdrop, dir, &tkv);
-    } else
+      if (!g_force_scalar_band &&
+          simd_fits(Q, T, W, a, b, gq, ge, gq2, ge2, sc_ambi, end_bonus)) {
+        band_fill_avx512(q, t, Q, T, W, a, b, gq, ge, gq2, ge2, sc_ambi,
+                         mode, zdrop, dirw, &tkv);
+      } else
 #endif
-    {
-      memset(dir, 0, (size_t)S * W);
-      band_fill_scalar(q, t, Q, T, W, a, b, gq, ge, gq2, ge2, sc_ambi,
-                       mode, zdrop, dir, &tkv);
+      {
+        memset(dirw, 0, (size_t)S * W);
+        band_fill_scalar(q, t, Q, T, W, a, b, gq, ge, gq2, ge2, sc_ambi,
+                         mode, zdrop, dirw, &tkv);
+      }
+      dir = dirw;
     }
     int32_t best_sc = tkv.best_sc, best_i = tkv.best_i, best_j = tkv.best_j;
     int32_t g_sc = tkv.g_sc, g_j = tkv.g_j, end_sc = tkv.end_sc;
@@ -1151,6 +1488,59 @@ void extend_one_job(
   }
 }
 
+void extend_one_job(
+    const uint8_t* q, const uint8_t* t, int Q_, int T_, int W,
+    int a, int b, int gq, int ge, int gq2, int ge2, int sc_ambi,
+    int end_bonus, int mode, int zdrop,
+    int32_t* ops_out, int32_t* out_n1, int max_ops,
+    int32_t* out_info4) {
+  extend_one_job_impl(q, t, Q_, T_, W, a, b, gq, ge, gq2, ge2, sc_ambi,
+                      end_bonus, mode, zdrop, ops_out, out_n1, max_ops,
+                      out_info4, nullptr, nullptr);
+}
+
+// Two INDEPENDENT jobs in one call.  When both band fills take the
+// AVX-512 path their anti-diagonal loops run interleaved
+// (band_fill_avx512_pair) so the two serial dependency chains overlap
+// in the OoO core; otherwise the jobs run sequentially.  Per-job
+// outputs are bit-identical to two extend_one_job calls either way.
+void extend_two_jobs(
+    const uint8_t* q1, const uint8_t* t1, int Q1, int T1, int W1,
+    int mode1, int32_t* ops1, int32_t* n1, int max_ops1, int32_t* info1,
+    const uint8_t* q2, const uint8_t* t2, int Q2, int T2, int W2,
+    int mode2, int32_t* ops2, int32_t* n2, int max_ops2, int32_t* info2,
+    int a, int b, int gq, int ge, int gq2, int ge2, int sc_ambi,
+    int end_bonus, int zdrop) {
+#if defined(MAPPY_AVX512)
+  if (!g_force_scalar_band && Q1 > 0 && T1 > 0 && Q2 > 0 && T2 > 0 &&
+      simd_fits(Q1, T1, W1, a, b, gq, ge, gq2, ge2, sc_ambi, end_bonus) &&
+      simd_fits(Q2, T2, W2, a, b, gq, ge, gq2, ge2, sc_ambi, end_bonus)) {
+    const int64_t SA = (int64_t)(Q1 + T1 - 1) * W1;
+    const int64_t SB = (int64_t)(Q2 + T2 - 1) * W2;
+    thread_local std::vector<uint8_t> dir_a, dir_b;
+    if ((int64_t)dir_a.size() < SA) dir_a.resize(SA);
+    if ((int64_t)dir_b.size() < SB) dir_b.resize(SB);
+    Trackers tka, tkb;
+    band_fill_avx512_pair(q1, t1, Q1, T1, W1, mode1, dir_a.data(), &tka,
+                          q2, t2, Q2, T2, W2, mode2, dir_b.data(), &tkb,
+                          a, b, gq, ge, gq2, ge2, sc_ambi, zdrop);
+    extend_one_job_impl(q1, t1, Q1, T1, W1, a, b, gq, ge, gq2, ge2,
+                        sc_ambi, end_bonus, mode1, zdrop, ops1, n1,
+                        max_ops1, info1, dir_a.data(), &tka);
+    extend_one_job_impl(q2, t2, Q2, T2, W2, a, b, gq, ge, gq2, ge2,
+                        sc_ambi, end_bonus, mode2, zdrop, ops2, n2,
+                        max_ops2, info2, dir_b.data(), &tkb);
+    return;
+  }
+#endif
+  extend_one_job_impl(q1, t1, Q1, T1, W1, a, b, gq, ge, gq2, ge2,
+                      sc_ambi, end_bonus, mode1, zdrop, ops1, n1,
+                      max_ops1, info1, nullptr, nullptr);
+  extend_one_job_impl(q2, t2, Q2, T2, W2, a, b, gq, ge, gq2, ge2,
+                      sc_ambi, end_bonus, mode2, zdrop, ops2, n2,
+                      max_ops2, info2, nullptr, nullptr);
+}
+
 void extend_banded_batch(const uint8_t* qs, const uint8_t* ts,
                          const int32_t* qlen, const int32_t* tlen,
                          int J, int QSTRIDE, int TSTRIDE, int W,
@@ -1178,7 +1568,23 @@ void extend_jobs_batch(const uint8_t* q_concat, const int64_t* q_off,
                        int ge2, int sc_ambi, int end_bonus, int zdrop,
                        int32_t* out_ops, int32_t* out_n, int max_ops,
                        int32_t* out_info) {
-  for (int job = 0; job < J; ++job) {
+  // consecutive jobs are independent: run them two at a time so the
+  // AVX-512 fills interleave (see extend_two_jobs)
+  int job = 0;
+  for (; job + 1 < J; job += 2) {
+    extend_two_jobs(q_concat + q_off[job], t_concat + t_off[job],
+                    qlen[job], tlen[job], Wv[job], modev[job],
+                    out_ops + (int64_t)job * max_ops, out_n + job,
+                    max_ops, out_info + (int64_t)job * 4,
+                    q_concat + q_off[job + 1], t_concat + t_off[job + 1],
+                    qlen[job + 1], tlen[job + 1], Wv[job + 1],
+                    modev[job + 1],
+                    out_ops + (int64_t)(job + 1) * max_ops,
+                    out_n + job + 1, max_ops,
+                    out_info + (int64_t)(job + 1) * 4,
+                    a, b, gq, ge, gq2, ge2, sc_ambi, end_bonus, zdrop);
+  }
+  if (job < J) {
     extend_one_job(q_concat + q_off[job], t_concat + t_off[job],
                    qlen[job], tlen[job], Wv[job], a, b, gq, ge, gq2,
                    ge2, sc_ambi, end_bonus, modev[job], zdrop,

@@ -30,6 +30,13 @@ void extend_one_job(const uint8_t* q, const uint8_t* t, int Q_, int T_,
                     int sc_ambi, int end_bonus, int mode, int zdrop,
                     int32_t* ops_out, int32_t* out_n1, int max_ops,
                     int32_t* out_info4);
+void extend_two_jobs(const uint8_t* q1, const uint8_t* t1, int Q1, int T1,
+                     int W1, int mode1, int32_t* ops1, int32_t* n1,
+                     int max_ops1, int32_t* info1, const uint8_t* q2,
+                     const uint8_t* t2, int Q2, int T2, int W2, int mode2,
+                     int32_t* ops2, int32_t* n2, int max_ops2,
+                     int32_t* info2, int a, int b, int gq, int ge, int gq2,
+                     int ge2, int sc_ambi, int end_bonus, int zdrop);
 int64_t gen_cs_native(const int32_t* ops, int n_ops, const uint8_t* q,
                       const uint8_t* t, char* out, int64_t cap);
 int64_t gen_md_native(const int32_t* ops, int n_ops, const uint8_t* q,
@@ -400,20 +407,73 @@ void post_chain_batch(
         ops_out.assign(ops_tmp.begin(), ops_tmp.begin() + n1);
         return n1;
       };
-      // mid segments: mode 2, W = band rule (_mid_band)
-      for (auto& s : segs) {
-        int ql = s[1] - s[0], tl = s[3] - s[2];
-        r->mid_ops.emplace_back();
-        r->mid_sc.push_back(0);
-        if (ql <= 0 || tl <= 0) continue;  // store_empty
-        int drift = ql > tl ? ql - tl : tl - ql;
-        int need = 32 * ((drift + ip[IP_MID_SLACK] + 31) / 32);
-        int W = need > ip[IP_MID_FLOOR] ? need : ip[IP_MID_FLOOR];
-        run_job(q_al + s[0], ref + roff + s[2], ql, tl, W, 2,
-                r->mid_ops.back());
-        r->mid_sc.back() = info[0];
-        if (info[3]) fb = true;  // zdrop split -> python fallback
-        if (fb) break;
+      // mid segments: mode 2, W = band rule (_mid_band).  The segs of
+      // one region are independent, so consecutive runnable pairs go
+      // through extend_two_jobs (interleaved AVX-512 fills).  Results
+      // are then consumed in seg order with the exact same fb checks
+      // the one-at-a-time loop made, so emitted records are identical
+      // (on the rare fb path some segs run wastefully; their results
+      // are discarded exactly as the python fallback remap would).
+      {
+        const int NSEG = (int)segs.size();
+        std::vector<int32_t> seg_W(NSEG, 0), seg_n(NSEG, 0);
+        std::vector<int32_t> seg_info(4 * (size_t)NSEG, 0);
+        std::vector<std::vector<int32_t>> seg_ops(NSEG);
+        int prev = -1;
+        auto prep = [&](int k) -> bool {
+          auto& s = segs[k];
+          int ql = s[1] - s[0], tl = s[3] - s[2];
+          if (ql <= 0 || tl <= 0) return false;  // store_empty
+          int drift = ql > tl ? ql - tl : tl - ql;
+          int need = 32 * ((drift + ip[IP_MID_SLACK] + 31) / 32);
+          seg_W[k] = need > ip[IP_MID_FLOOR] ? need : ip[IP_MID_FLOOR];
+          seg_ops[k].resize(2 * (ql + tl) + 8);
+          return true;
+        };
+        for (int k = 0; k < NSEG; ++k) {
+          if (!prep(k)) continue;
+          if (prev < 0) { prev = k; continue; }
+          auto &sa = segs[prev], &sb = segs[k];
+          extend_two_jobs(
+              q_al + sa[0], ref + roff + sa[2], sa[1] - sa[0],
+              sa[3] - sa[2], seg_W[prev], 2, seg_ops[prev].data(),
+              &seg_n[prev], (int)seg_ops[prev].size(),
+              &seg_info[4 * (size_t)prev],
+              q_al + sb[0], ref + roff + sb[2], sb[1] - sb[0],
+              sb[3] - sb[2], seg_W[k], 2, seg_ops[k].data(), &seg_n[k],
+              (int)seg_ops[k].size(), &seg_info[4 * (size_t)k],
+              ip[IP_A], ip[IP_B], ip[IP_GQ], ip[IP_GE], ip[IP_GQ2],
+              ip[IP_GE2], ip[IP_SC_AMBI], ip[IP_END_BONUS],
+              ip[IP_ZDROP]);
+          prev = -1;
+        }
+        if (prev >= 0) {
+          auto& sa = segs[prev];
+          extend_one_job(q_al + sa[0], ref + roff + sa[2],
+                         sa[1] - sa[0], sa[3] - sa[2], seg_W[prev],
+                         ip[IP_A], ip[IP_B], ip[IP_GQ], ip[IP_GE],
+                         ip[IP_GQ2], ip[IP_GE2], ip[IP_SC_AMBI],
+                         ip[IP_END_BONUS], 2, ip[IP_ZDROP],
+                         seg_ops[prev].data(), &seg_n[prev],
+                         (int)seg_ops[prev].size(),
+                         &seg_info[4 * (size_t)prev]);
+        }
+        for (int k = 0; k < NSEG; ++k) {
+          auto& s = segs[k];
+          int ql = s[1] - s[0], tl = s[3] - s[2];
+          r->mid_ops.emplace_back();
+          r->mid_sc.push_back(0);
+          if (seg_W[k] == 0) continue;  // store_empty
+          cells += (double)(ql + tl - 1) * seg_W[k];
+          n_jobs += 1.0;
+          int32_t n1s = seg_n[k];
+          if (n1s < 0) { fb = true; n1s = 0; }
+          r->mid_ops.back().assign(seg_ops[k].begin(),
+                                   seg_ops[k].begin() + n1s);
+          r->mid_sc.back() = seg_info[4 * (size_t)k];
+          if (seg_info[4 * (size_t)k + 3]) fb = true;  // zdrop split
+          if (fb) break;
+        }
       }
       if (fb) break;
       // left flank: reversed q/t, mode 1
