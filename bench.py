@@ -25,10 +25,11 @@ refreshes the artifact.
 
 Prints ONE JSON line:
   {"metric": "reads/sec/chip", "value": N, "unit": "reads/s",
-   "vs_baseline": R, "passes": [...], "median": M,
+   "vs_baseline": R, "passes": [...], "median": M, "best": X,
    "baseline": {"value": B, "date": D, ...}}
-where value = best pass, vs_baseline = value / measured_cpu_rps, and
-passes/median publish the run-to-run spread (VERDICT r3 weak #2).
+where value = MEDIAN pass (honest by construction on a 2x-variance
+shared backend — VERDICT r4 weak #1/next #6), vs_baseline =
+median / measured_cpu_rps, and passes/best publish the spread.
 """
 from __future__ import annotations
 
@@ -373,10 +374,12 @@ def _run() -> None:
     # through the shared queue and can leave slow children cold)
     al.warmup(reads[:256])
     _log(f"worker spawn + warmup: {time.time() - t0:.1f}s")
+    _cpu0 = time.process_time()
     passes, best, wall = _measure(
         al, payloads, truth, reset_after_warm=True,
         deadline=t_start + BUDGET_S,
     )
+    parent_cpu = time.process_time() - _cpu0
     rps, dt, n_hit, n_correct = best
     pass_rates = sorted(p[0] for p in passes)
     median = pass_rates[len(pass_rates) // 2] if len(pass_rates) % 2 else (
@@ -392,11 +395,14 @@ def _run() -> None:
         json.dumps(
             {
                 "metric": "reads/sec/chip",
-                "value": round(rps, 2),
+                # value == median: the honest-by-construction headline
+                # (best-of-passes rode the backend's 2x variance)
+                "value": round(median, 2),
                 "unit": "reads/s",
-                "vs_baseline": round(rps / cpu_rps, 3),
+                "vs_baseline": round(median / cpu_rps, 3),
                 "passes": [round(p[0], 1) for p in passes],
                 "median": round(median, 1),
+                "best": round(rps, 1),
                 "baseline": {
                     "value": cpu_rps,
                     "date": baseline.get("date", "?"),
@@ -471,7 +477,11 @@ def _run() -> None:
         f"{len(passes) * N_READS} "
         f"reads): front_end={fe:.2f} extend={ext:.2f} "
         f"finalize={fin:.2f}; host dp_cells/s="
-        f"{m.get('dp_cells_per_sec', 0):.3e}",
+        f"{m.get('dp_cells_per_sec', 0):.3e}\n"
+        f"# parent-process CPU during measurement: {parent_cpu:.2f}s "
+        f"over {wall:.2f}s wall = {parent_cpu / max(wall, 1e-9):.2f} "
+        f"cores (of {n_cpu}) spent on IPC deserialize + queues + "
+        f"iterator",
         file=sys.stderr,
     )
 

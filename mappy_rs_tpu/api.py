@@ -703,9 +703,13 @@ class Aligner:
         pool = self._pool
         # reads are pushed in blocks (one work-queue lock per run, not
         # per read); full-queue overflow falls back to the per-read
-        # back-off path inside push_work_block, byte-identical
+        # back-off path inside push_work_block, byte-identical.  The
+        # FIRST block flushes small (64) so a slow/streaming producer
+        # overlaps mapping immediately instead of idling the workers
+        # until 1024 reads accumulate.
         block: List[str] = []
         start_id = 0
+        flush_at = 64
         for id_num, item in enumerate(iter(seqs)):
             if not isinstance(item, dict):
                 raise TypeError("Element in iterable is not a dictionary")
@@ -716,10 +720,11 @@ class Aligner:
             if not isinstance(s, str):
                 raise ValueError("`seq` must be a string")
             block.append(s)
-            if len(block) >= 1024:
+            if len(block) >= flush_at:
                 pool.push_work_block(res, start_id, block, back_off)
                 start_id = id_num + 1
                 block = []
+                flush_at = 1024
         if block:
             pool.push_work_block(res, start_id, block, back_off)
         pool.push_done_pills(res)

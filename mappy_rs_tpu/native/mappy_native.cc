@@ -999,19 +999,6 @@ struct BandFill512 {
     return zdead;
   }
 
-  // step() for the fixup-capable prefix, step32r on struct members
-  // past it (W=32 only).  The pair/single drivers below instead keep
-  // the rows in loop-local zmm registers; this member-backed form is
-  // the fallback shape.
-  inline bool step_auto(int s, const Band512Consts& C) {
-    if (W == 32) {
-      if (!reg_on && s >= 34) enter_reg();
-      if (reg_on)
-        return step32r(s, C, rH1, rH2, rE1, rE2, rF1, rF2);
-    }
-    return step(s, C);
-  }
-
   // One anti-diagonal; returns true when the fill terminated (zdrop).
   inline bool step(int s, const Band512Consts& C) {
     const __m512i vNEG = C.vNEG;

@@ -417,6 +417,9 @@ void post_chain_batch(
       {
         const int NSEG = (int)segs.size();
         std::vector<int32_t> seg_W(NSEG, 0), seg_n(NSEG, 0);
+        std::vector<char> seg_run(NSEG, 0);  // runnable flag: seg_W==0
+        // must not double as the store-empty sentinel (a
+        // mid_band_floor=0 config computes a real W=0 job)
         std::vector<int32_t> seg_info(4 * (size_t)NSEG, 0);
         std::vector<std::vector<int32_t>> seg_ops(NSEG);
         int prev = -1;
@@ -432,6 +435,7 @@ void post_chain_batch(
         };
         for (int k = 0; k < NSEG; ++k) {
           if (!prep(k)) continue;
+          seg_run[k] = 1;
           if (prev < 0) { prev = k; continue; }
           auto &sa = segs[prev], &sb = segs[k];
           extend_two_jobs(
@@ -463,7 +467,7 @@ void post_chain_batch(
           int ql = s[1] - s[0], tl = s[3] - s[2];
           r->mid_ops.emplace_back();
           r->mid_sc.push_back(0);
-          if (seg_W[k] == 0) continue;  // store_empty
+          if (!seg_run[k]) continue;  // store_empty
           cells += (double)(ql + tl - 1) * seg_W[k];
           n_jobs += 1.0;
           int32_t n1s = seg_n[k];

@@ -157,6 +157,23 @@ class _BlockChannel:
             self._not_full.notify_all()
             return payload
 
+    def get_held(self, timeout: Optional[float] = None):
+        """Like :meth:`get` but returns ``(payload, nreads)`` WITHOUT
+        freeing capacity — the consumer calls :meth:`release` once the
+        payload is fully drained, so a block buffered inside the
+        iterator still counts against the channel's absorbency."""
+        with self._not_empty:
+            if not self._q:
+                self._not_empty.wait(timeout=timeout)
+                if not self._q:
+                    return None
+            return self._q.popleft()
+
+    def release(self, nreads: int) -> None:
+        with self._not_full:
+            self._n -= nreads
+            self._not_full.notify_all()
+
 
 class AlignmentBatchResultIter:
     """Streaming iterator over batch results (lib.rs:922-992 parity).
@@ -172,6 +189,8 @@ class AlignmentBatchResultIter:
         self._n_finished = 0
         self._buf: List[tuple] = []
         self._buf_i = 0
+        self._buf_held = 0  # channel capacity still held by _buf
+        self._mu = threading.Lock()  # concurrent next() safety
         # Disconnect flag: the reference's workers learn the iterator was
         # dropped through a failing channel send (lib.rs:822-826); Python
         # queues have no receiver-dropped signal, so workers poll this.
@@ -190,23 +209,34 @@ class AlignmentBatchResultIter:
         return self
 
     def __next__(self):
-        while True:
-            if self._buf_i < len(self._buf):
-                mappings, id_num = self._buf[self._buf_i]
-                self._buf_i += 1
-                data = self.data.pop(id_num)
-                return mappings, data
-            item = self.channel.get()
-            if item is None:
-                continue
-            if item is _DONE:
-                self._n_finished += 1
-                if self._n_finished == self._n_threads:
-                    self.closed = True
-                    raise StopIteration
-                continue
-            self._buf = item
-            self._buf_i = 0
+        # the lock makes concurrent iteration from several threads
+        # hand each result out exactly once; channel capacity stays
+        # held until the buffered block is fully drained, so the
+        # 20k-read absorbency contract is block-exact
+        with self._mu:
+            while True:
+                if self._buf_i < len(self._buf):
+                    mappings, id_num = self._buf[self._buf_i]
+                    self._buf_i += 1
+                    if self._buf_i == len(self._buf) and self._buf_held:
+                        self.channel.release(self._buf_held)
+                        self._buf_held = 0
+                    data = self.data.pop(id_num)
+                    return mappings, data
+                got = self.channel.get_held()
+                if got is None:
+                    continue
+                item, nreads = got
+                if item is _DONE:
+                    self.channel.release(nreads)
+                    self._n_finished += 1
+                    if self._n_finished == self._n_threads:
+                        self.closed = True
+                        raise StopIteration
+                    continue
+                self._buf = item
+                self._buf_i = 0
+                self._buf_held = nreads
 
 
 class WorkerPool:
@@ -383,9 +413,13 @@ class WorkerPool:
             while not self.stop.is_set():
                 if sink.closed:
                     if item is not _DONE:
+                        # one message per discarded BLOCK; the read
+                        # count keeps log-based drop accounting exact
+                        # (the reference printed one line per read)
                         print(
                             "Internal error returning data, the receiver "
-                            "iterator has finished.",
+                            f"iterator has finished. ({nreads} reads "
+                            "discarded)",
                             file=sys.stderr,
                         )
                     break

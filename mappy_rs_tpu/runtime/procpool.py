@@ -56,10 +56,12 @@ def _child_main(
                 )
             except Exception:  # noqa: BLE001 — cache is an optimization
                 pass
-        from ..api import regions_to_mappings
+        import numpy as np
+
         from ..config import MM_F_NO_PRINT_2ND
         from ..index.share import load_index_dir
         from ..models.pipeline import AlignmentEngine
+        from .pack import pack_regions_block
 
         trace = os.environ.get("MAPPY_RS_TPU_CHILD_TRACE")
         import time as _time
@@ -81,8 +83,6 @@ def _child_main(
         _tr("index mmap'd")
         eng = AlignmentEngine(index, map_opt, cfg)
         no_2nd = bool(map_opt.flag & MM_F_NO_PRINT_2ND)
-        seq_names = index.seq_names
-        seq_lens = index.seq_lens
         conn.send(("ready", -1, os.getpid()))
         _first = True
         while True:
@@ -114,16 +114,27 @@ def _child_main(
                     if trace:
                         _ = eng.index.device  # isolate upload time
                         _tr("index uploaded")
-                keys = list(dict.fromkeys(seqs))
+                key_ix: Dict[str, int] = {}
+                for s in seqs:
+                    if s not in key_ix:
+                        key_ix[s] = len(key_ix)
+                keys = list(key_ix)
                 regs = eng.map_batch(keys, cs=cs, md=md)
                 if _first:
                     _tr("first chunk mapped")
                     _first = False
-                table = {
-                    s: regions_to_mappings(r, seq_names, seq_lens, no_2nd)
-                    for s, r in zip(keys, regs)
-                }
-                conn.send(("ok", rid, [table[s] for s in seqs]))
+                # packed block IPC: one tuple of flat arrays per chunk
+                # instead of per-Mapping object pickling (pack.py)
+                order = (
+                    np.fromiter(
+                        (key_ix[s] for s in seqs), np.int32, len(seqs)
+                    )
+                    if len(keys) != len(seqs) else None
+                )
+                conn.send((
+                    "okp", rid,
+                    (order, pack_regions_block(regs, no_2nd)),
+                ))
             except Exception as exc:  # noqa: BLE001 — surface to parent
                 conn.send(("error", rid, repr(exc)))
     except (EOFError, KeyboardInterrupt):
@@ -206,6 +217,8 @@ class ProcMapper:
         ctx = mp.get_context("spawn")
         self._tmp = tempfile.mkdtemp(prefix="mappy_rs_tpu_idx_")
         save_index_dir(index, self._tmp)
+        self._seq_names = list(index.seq_names)
+        self._seq_lens = index.seq_lens
         # children: no nested process pools; one compiled batch shape
         # (tiny trailing chunks pad to the full B instead of compiling
         # a second [8, L] graph per child)
@@ -275,15 +288,22 @@ class ProcMapper:
         i % n_procs.  Several proxies may target one child — requests
         interleave on the pipe and the child maps them back-to-back."""
         child = self._children[i % self.n_procs]
+        names, lens_ = self._seq_names, self._seq_lens
 
         def fn(seqs, cs: bool = True, md: bool = False):
+            from .pack import unpack_mappings_block
+
             rid = self._next_rid()
             kind, payload = child.request(
                 rid, ("map", rid, seqs, cs, md)
             )
-            if kind != "ok":
+            if kind != "okp":
                 raise RuntimeError(f"worker process failed: {payload}")
-            return payload
+            order, block = payload
+            tables = unpack_mappings_block(block, names, lens_)
+            if order is None:
+                return tables
+            return [tables[k] for k in order.tolist()]
 
         return fn
 
