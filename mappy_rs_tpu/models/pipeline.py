@@ -323,9 +323,13 @@ def _front_end_bt(
         f, p = chain_scores_pallas(anchors, chain_params, pallas_window)
     else:
         f, p = chain_scores_block(anchors, chain_params, chain_window)
+    # aux row 1 (n_raw, pre-truncation hit count) rides the rep_len
+    # download so the host can detect A-budget overflow on this path
+    # too (minimap2 has no anchor cap; overflowed reads remap with a
+    # boosted budget — VERDICT r4 weak #4)
     return backtrack_chains_pallas(
         anchors, f, p, bt_k, bt_cuts, min_cnt, min_sc
-    ), anchors["rep_len"]
+    ), jnp.stack([anchors["rep_len"], anchors["n_raw"]])
 
 
 def _decode_front_end(arr: np.ndarray, n_np, rep_len):
@@ -659,9 +663,12 @@ class AlignmentEngine:
             native_bt = False
             if use_bt:
                 with self.metrics.timer("front_end"):
-                    chains_np, rep_len = jax.device_get(handles)
+                    chains_np, aux = jax.device_get(handles)
                     chains_np = np.asarray(chains_np)
-                    rep_len = np.asarray(rep_len)
+                    aux = np.asarray(aux)
+                    rep_len = aux[0]
+                for bi in np.nonzero(aux[1][: len(chunk)] > A)[0]:
+                    overflow_reads.append(chunk[int(bi)])
             else:
                 with self.metrics.timer("front_end"):
                     arr, n_np, rep_len, n_raw = self._front_end_fetch(
@@ -1335,6 +1342,7 @@ class AlignmentEngine:
             return None
         nreg, fields, cig, ncig, cs_get, md_get, fallback, stats = res
         self.metrics.add("dp_cells", float(stats[0]))
+        self.metrics.add("post_chain_fallbacks", float(fallback.sum()))
         with self.metrics.timer("finalize"):
             for bi, ri in enumerate(chunk):
                 if fallback[bi]:

@@ -292,15 +292,30 @@ def probe_index(
         # hash-probe seeding: slot h = fib_mix(key) >> (32 - t) (same
         # mix as the build, index.HASH_MIX); the key (if present)
         # lives in [h, h+128], fully inside rows h>>7, h>>7+1.
-        h = (
-            (q_lo * _U32(0x9E3779B1)) >> _U32(hash_shift)
-        ).astype(_I32)
+        # Two-word mode (k > 15: keys up to 62 bits, hash_rows
+        # [rows, 128, 2]): word0 = low 31 bits, word1 = key >> 31 —
+        # both words arrive in the SAME window gather, so the k=19
+        # presets pay one extra compare, not one extra gather op.
+        two_word = getattr(hash_rows, "ndim", 2) == 3
+        if two_word:
+            q_up = (q_hi << _U32(1)) | (q_lo >> _U32(31))
+            mixv = (q_lo ^ (q_up * _U32(0x85EBCA6B))) * _U32(0x9E3779B1)
+        else:
+            mixv = q_lo * _U32(0x9E3779B1)
+        h = (mixv >> _U32(hash_shift)).astype(_I32)
         # invalid slots carry the 0xFFFF... sentinel: clamp the row so
         # the window gather stays in bounds (they match nothing real —
         # empty table slots yield the idx = n_keys sentinel below)
         r = jnp.minimum(h >> 7, hash_rows.shape[0] - 2)
         win = hash_rows[r[:, :, None] + jnp.arange(2, dtype=_I32)]
-        match = win.reshape(B, M, 256) == q_lo[:, :, None]
+        if two_word:
+            w2 = win.reshape(B, M, 256, 2)
+            q_fp = q_lo & _U32(0x7FFFFFFF)
+            match = (w2[..., 0] == q_fp[:, :, None]) & (
+                w2[..., 1] == q_up[:, :, None]
+            )
+        else:
+            match = win.reshape(B, M, 256) == q_lo[:, :, None]
         lane = jnp.argmax(match, axis=-1).astype(_I32)
         slot = (r << 7) + lane
         idx = hash_val[slot]

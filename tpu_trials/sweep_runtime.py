@@ -14,12 +14,12 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 
 CONFIGS = [
-    # (name, procs, chunk, depth, proxies_per_child)
-    ("p6c1024d3", 6, 1024, 3, 2),
-    ("p6c2048d3", 6, 2048, 3, 2),
-    ("p5c1024d5", 5, 1024, 5, 2),
-    ("p7c1024d3", 7, 1024, 3, 2),
-    ("p6c1024d3x3", 6, 1024, 3, 3),
+    # (name, procs, chunk, depth, proxies_per_child, B)
+    ("B256p7", 7, 1024, 4, 2, 256),   # round-4 production config
+    ("B512p6", 6, 1024, 4, 2, 512),
+    ("B512p7", 7, 1024, 4, 2, 512),
+    ("B512p6c2048", 6, 2048, 4, 2, 512),
+    ("B512p8", 8, 1024, 4, 2, 512),
 ]
 CYCLES = 2
 N_READS = 8000
@@ -51,12 +51,13 @@ def main():
     al = Aligner(seq=genome, preset="map-ont")
     results = {name: [] for name, *_ in CONFIGS}
     for cyc in range(CYCLES):
-        for name, procs, chunk, depth, prox in CONFIGS:
+        for name, procs, chunk, depth, prox, bsz in CONFIGS:
             al.enable_threading(0)
             al._config.worker_processes = procs
             al._config.proc_chunk = chunk
             os.environ["MAPPY_RS_TPU_DEPTH"] = str(depth)
             al._config.pipeline_depth = depth
+            al._config.device_batch_size = bsz
             t0 = time.time()
             al.enable_threading(prox * procs)
             al.warmup([p["seq"] for p in payloads[0][:256]])
