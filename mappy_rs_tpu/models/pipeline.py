@@ -384,6 +384,7 @@ class AlignmentEngine:
         self.mesh = None
         self._dp_fes: Dict[tuple, Any] = {}
         self._index_shards = None  # enable_mesh(n_index > 1)
+        self._packed_sink = None  # map_batch_packed installs (pack.py)
         self.metrics = EngineMetrics()
         max_gap_ref = opt.max_gap_ref if opt.max_gap_ref >= 0 else opt.max_gap
         self.is_splice = bool(opt.flag & MM_F_SPLICE)
@@ -438,6 +439,28 @@ class AlignmentEngine:
             for L, idxs in buckets.items():
                 self._map_bucket(L, idxs, codes, out, cs, md)
         return out
+
+    def map_batch_packed(
+        self, seqs: Sequence[str], cs: bool = False, md: bool = False,
+        no_2nd: bool = False,
+    ):
+        """Map a batch straight into the packed wire-block format
+        (runtime/pack.py module docstring).  Fast-path reads skip
+        Region-object materialization entirely: post_chain.cc's flat
+        arrays are gathered vectorized into the block; only
+        fallback/splice/python-path reads go through Region lists.
+        Bit-identical to pack_regions_block(map_batch(...)) —
+        tests/test_procpool_pack.py::test_packed_sink_parity."""
+        from ..runtime.pack import PackedSink
+
+        sink = PackedSink(len(seqs), no_2nd)
+        self._packed_sink = sink
+        try:
+            out = self.map_batch(seqs, cs=cs, md=md)
+        finally:
+            self._packed_sink = None
+        with self.metrics.timer("finalize"):
+            return sink.finish(out)
 
     def _map_cpu(
         self,
@@ -1340,9 +1363,25 @@ class AlignmentEngine:
             )
         if res is None:
             return None
-        nreg, fields, cig, ncig, cs_get, md_get, fallback, stats = res
+        (nreg, fields, cig, ncig, cs_get, md_get, fallback, stats,
+         raw_tags) = res
         self.metrics.add("dp_cells", float(stats[0]))
         self.metrics.add("post_chain_fallbacks", float(fallback.sum()))
+        sink = self._packed_sink
+        if sink is not None:
+            # direct-to-wire: no Region objects for fast-path reads —
+            # the sink gathers post_chain.cc's flat arrays into the
+            # IPC block format (runtime/pack.py PackedSink)
+            with self.metrics.timer("finalize"):
+                sink.add_native(
+                    chunk, nreg, fields, cig, ncig, raw_tags, fallback
+                )
+                fb_idx = np.nonzero(fallback[: len(chunk)])[0]
+                if len(fb_idx):
+                    sink.mark_python(
+                        np.asarray(chunk, np.int64)[fb_idx]
+                    )
+            return fallback
         with self.metrics.timer("finalize"):
             for bi, ri in enumerate(chunk):
                 if fallback[bi]:

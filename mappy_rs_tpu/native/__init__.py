@@ -560,7 +560,10 @@ def post_chain_batch(
 
     cs_get = (lambda bi, oi: _tag(cs_buf, cs_len, bi, oi)) if want_cs else None
     md_get = (lambda bi, oi: _tag(md_buf, md_len, bi, oi)) if want_md else None
-    return nreg, fields, cig, ncig, cs_get, md_get, fallback, stats
+    # raw tag buffers: the packed-block fast path (runtime/pack.py
+    # PackedSink) gathers tags vectorized instead of via the getters
+    raw_tags = (cs_buf, cs_len, md_buf, md_len, tag_cap)
+    return nreg, fields, cig, ncig, cs_get, md_get, fallback, stats, raw_tags
 
 
 def chain_dp_anchors(

@@ -61,8 +61,6 @@ def _child_main(
         from ..config import MM_F_NO_PRINT_2ND
         from ..index.share import load_index_dir
         from ..models.pipeline import AlignmentEngine
-        from .pack import pack_regions_block
-
         trace = os.environ.get("MAPPY_RS_TPU_CHILD_TRACE")
         import time as _time
 
@@ -119,22 +117,20 @@ def _child_main(
                     if s not in key_ix:
                         key_ix[s] = len(key_ix)
                 keys = list(key_ix)
-                regs = eng.map_batch(keys, cs=cs, md=md)
+                # direct-to-wire: fast-path reads go from post_chain.cc
+                # arrays straight into the block (no Region objects)
+                block = eng.map_batch_packed(keys, cs=cs, md=md,
+                                             no_2nd=no_2nd)
                 if _first:
                     _tr("first chunk mapped")
                     _first = False
-                # packed block IPC: one tuple of flat arrays per chunk
-                # instead of per-Mapping object pickling (pack.py)
                 order = (
                     np.fromiter(
                         (key_ix[s] for s in seqs), np.int32, len(seqs)
                     )
                     if len(keys) != len(seqs) else None
                 )
-                conn.send((
-                    "okp", rid,
-                    (order, pack_regions_block(regs, no_2nd)),
-                ))
+                conn.send(("okp", rid, (order, block)))
             except Exception as exc:  # noqa: BLE001 — surface to parent
                 conn.send(("error", rid, repr(exc)))
     except (EOFError, KeyboardInterrupt):

@@ -67,6 +67,54 @@ def test_roundtrip_matches_regions_to_mappings():
             _assert_same(w, g)
 
 
+def test_packed_sink_parity():
+    """map_batch_packed (direct-to-wire PackedSink: no Region objects
+    on the fast path) must produce the EXACT block pack_regions_block
+    builds from the Region path — including zdrop-split fallback reads
+    (python path merge) and anchor-overflow retries (rowset
+    overwrite)."""
+    import pytest
+
+    from mappy_rs_tpu import Aligner, native
+
+    if not native.available():
+        pytest.skip("native lib required")
+    rng = np.random.default_rng(11)
+    seg = "".join(rng.choice(list("ACGT"), size=600))
+    genome = (
+        "".join(rng.choice(list("ACGT"), size=150_000))
+        + seg * 40  # high-occurrence repeat: anchor-overflow retry
+        + "".join(rng.choice(list("ACGT"), size=150_000))
+    )
+    from bench import simulate
+
+    reads, _ = simulate(rng, genome, 60, 1000, 0.05)
+    garbage = "".join(rng.choice(list("ACGT"), size=500))
+    # zdrop-split chimera -> fused-path fallback -> python merge
+    reads.append(genome[2000:2600] + garbage + genome[3100:3700])
+    comp = str.maketrans("ACGT", "TGCA")
+    reads.append(genome[5000:6000].translate(comp)[::-1])
+    reads.append(seg + seg)  # overflow read
+    for fe in ("cpu", "device"):
+        al = Aligner(seq=genome, preset="map-ont")
+        al._engine.cfg.front_end_backend = fe
+        eng = al._engine
+        for no_2nd in (False, True):
+            regs = eng.map_batch(reads, cs=True, md=True)
+            want = pack_regions_block(regs, no_2nd)
+            got = eng.map_batch_packed(
+                reads, cs=True, md=True, no_2nd=no_2nd
+            )
+            for a, b, nm in zip(want, got,
+                                ("counts", "F", "cig", "cs", "md")):
+                if isinstance(a, bytes):
+                    assert a == bytes(b), (fe, no_2nd, nm)
+                else:
+                    assert np.array_equal(a, b), (fe, no_2nd, nm)
+            # and the unpacked Mappings match the Region-path oracle
+    assert eng.metrics.snapshot().get("anchor_overflow_retries", 0) > 0
+
+
 def test_block_pickles_flat():
     """The block must pickle as a handful of buffers (the design
     point: no per-Mapping object trees on the pipe)."""
