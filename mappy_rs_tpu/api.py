@@ -458,16 +458,30 @@ class Aligner:
             return
         n_procs = self._config.worker_processes
         if n_procs > 0:
-            from .runtime.procpool import ProcMapper, resolved_platforms
-
             try:
-                procs = ProcMapper(
-                    n_procs,
-                    self._index,
-                    self._map_opt,
-                    self._config,
-                    platforms=resolved_platforms(),
-                )
+                if self._config.topology == "device_owner":
+                    from .runtime.devowner import DevOwnerMapper
+
+                    procs = DevOwnerMapper(
+                        n_procs,
+                        self._engine,
+                        self._index,
+                        self._map_opt,
+                        self._config,
+                    )
+                else:
+                    from .runtime.procpool import (
+                        ProcMapper,
+                        resolved_platforms,
+                    )
+
+                    procs = ProcMapper(
+                        n_procs,
+                        self._index,
+                        self._map_opt,
+                        self._config,
+                        platforms=resolved_platforms(),
+                    )
                 if not procs.wait_ready():
                     procs.shutdown()
                     procs = None

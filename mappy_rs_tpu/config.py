@@ -339,6 +339,19 @@ class AlignerConfig:
             os.environ.get("MAPPY_RS_TPU_PROCS", "0")
         )
     )
+    # multi-process topology: "classic" = every child runs the FULL
+    # pipeline with its own TPU client (round-4 production shape);
+    # "device_owner" = the PARENT owns the only TPU client (one index
+    # upload, one compile, one deep dispatch queue) and the children
+    # are jax-free post-chain workers (runtime/devowner.py — fixes the
+    # per-child device-index replication that caps worker scaling and
+    # makes Gbp-scale indexes impossible to replicate per child).
+    # Overridable with MAPPY_RS_TPU_TOPOLOGY.
+    topology: str = field(
+        default_factory=lambda: os.environ.get(
+            "MAPPY_RS_TPU_TOPOLOGY", "classic"
+        )
+    )
     # reads drained per proxy dispatch in multi-process mode: 2x the
     # device batch so each child's internal software pipeline overlaps
     # its own device and host stages.  Overridable with

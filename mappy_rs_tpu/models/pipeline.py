@@ -486,6 +486,21 @@ class AlignmentEngine:
                 8, self.SEG_LEN, occ_dist=od, max_max_occ=mmo,
                 bw_long=int(self.opt.bw_long), use_rmq=use_rmq,
             )
+        self._post_chain_tail(chains, rep_len, codes, out, cs, md)
+
+    def _post_chain_tail(
+        self,
+        chains: np.ndarray,
+        rep_len,
+        codes: List[np.ndarray],
+        out: List[List[Region]],
+        cs: bool,
+        md: bool,
+    ) -> None:
+        """Everything after compact chains are known: fused native
+        post-chain for the fast path, Python regions + extension +
+        finalize for fallback reads.  Shared by _map_cpu and the
+        device-owner topology's post-chain workers (post_chain_packed)."""
         fb = self._post_chain_native(
             list(range(len(codes))), chains,
             np.asarray(rep_len, np.int32), codes, out, cs, md,
@@ -507,6 +522,33 @@ class AlignmentEngine:
         self._run_split_rounds(read_regions, codes)
         self._finish_reads(read_regions, codes, out, cs, md)
 
+    def post_chain_packed(
+        self,
+        codes: List[np.ndarray],
+        chains: np.ndarray,
+        rep_len: np.ndarray,
+        cs: bool = True,
+        md: bool = False,
+        no_2nd: bool = False,
+    ):
+        """Device-owner topology worker entry point: compact chains
+        (produced by the parent's device front end) -> finished packed
+        wire block, all host-side (native post-chain fast path +
+        Python fallback), no jax required in-process."""
+        from ..runtime.pack import PackedSink
+
+        with self.metrics.timer("map_batch"):
+            self.metrics.add("reads", len(codes))
+            sink = PackedSink(len(codes), no_2nd)
+            self._packed_sink = sink
+            out: List[List[Region]] = [[] for _ in codes]
+            try:
+                self._post_chain_tail(chains, rep_len, codes, out, cs, md)
+            finally:
+                self._packed_sink = None
+            with self.metrics.timer("finalize"):
+                return sink.finish(out)
+
     def _bucket_len(self, n: int) -> int:
         for b in self.cfg.length_buckets:
             if n <= b:
@@ -524,24 +566,9 @@ class AlignmentEngine:
         md: bool,
         a_boost: int = 1,
     ) -> None:
-        import jax.numpy as jnp
-
-        k, w = self.index.k, self.index.w
+        k = self.index.k
         B_real = len(idxs)
-        # only two batch shapes per bucket (tiny / full): worker-drain
-        # sizes vary run to run, and every new B is a fresh compile.
-        # Full size scales down for long-read buckets so [B, L] work
-        # arrays stay bounded (~256k cells/batch).
-        full_B = max(8, _pow2_at_least(
-            max(self.cfg.device_batch_size * 1024 // L, 8)) // 1)
-        full_B = min(full_B, self.cfg.device_batch_size)
-        B = 8 if (B_real <= 8 and not self.cfg.single_batch_shape) else full_B
-        if self.mesh is not None:  # shard_map needs B % n_data == 0
-            nd = self.mesh.shape["data"]
-            B = ((B + nd - 1) // nd) * nd
-        M = max(64, L // max(w // 2, 1))
-        A = max(256, int(L * self.cfg.anchors_per_base))
-        A = _pow2_at_least(A) * a_boost
+        B, M, A = self.fe_shapes(L, a_boost=a_boost, b_real=B_real)
         overflow_reads: List[int] = []
         import jax
 
@@ -556,127 +583,9 @@ class AlignmentEngine:
             device work overlaps chunk i's host stages (backtrack,
             regions, extension) — the dominant idle source at one
             in-flight batch per worker."""
-            batch = np.full((B, L), 4, np.uint8)
-            lens = np.zeros(B, np.int32)
-            for bi, ri in enumerate(chunk):
-                c = codes[ri]
-                batch[bi, : len(c)] = c
-                lens[bi] = len(c)
-            # TPU: hand-written Mosaic chain kernel (predictable
-            # compiles, H=128 window); elsewhere: XLA block formulation
-            is_hpc = bool(self.index.flag & 0x1)
-            pack = self.cfg.pack_uplink and not is_hpc
-            if is_hpc:
-                from ..ops.sketch import compress_hpc, hpc_spans
-
-                cc, cl, run_end, run_len = compress_hpc(batch, lens)
-                spans_np = hpc_spans(run_len, k)
-                fe_codes = jnp.asarray(cc)
-                fe_sklens = jnp.asarray(cl)
-                fe_force = jnp.asarray(spans_np >= 256)
-                fe_posmap = jnp.asarray(run_end)
-                fe_spans = jnp.asarray(spans_np)
-            else:
-                # optionally 4-bit-pack the query upload (two codes per
-                # byte); expanded on device in the front-end graph.
-                # Uplink bytes halve — the tunnel is shared by every
-                # worker process and runs near saturation at full rate.
-                fe_codes = jnp.asarray(
-                    (batch[:, 0::2] << 4) | batch[:, 1::2]
-                ) if pack else jnp.asarray(batch)
-                fe_sklens = jnp.asarray(lens)
-                fe_force = fe_posmap = fe_spans = None
-            fe_dev = self._fe_dev  # dummy when the index is sharded:
-            # the replicated device tables must never be built then
-            fe_args = (
-                fe_codes,
-                jnp.asarray(lens),
-                fe_sklens,
-                fe_force,
-                fe_posmap,
-                fe_spans,
-                fe_dev.key_hi,
-                fe_dev.key_lo,
-                fe_dev.offcnt,
-                fe_dev.pos_rp,
-                fe_dev.bucket_start,
-                fe_dev.hash_rows,
-                fe_dev.hash_val,
-                jnp.int32(fe_dev.n_keys),
-                jnp.int32(self.opt.mid_occ),
-                k,
-                w,
-                M,
-                A,
-                self._chain_params,
-                self.cfg.chain_window,
-                jax.default_backend() == "tpu",
-                float(self.opt.q_occ_frac),
-                fe_dev.bucket_bits,
-                fe_dev.bucket_rounds,
-                fe_dev.bucket_shift,
-                fe_dev.hash_bits,
-                fe_dev.hash_shift,
+            lens, handles = self._fe_submit_batch(
+                [codes[ri] for ri in chunk], L, B, M, A, use_bt, bt_cuts
             )
-            self._probe_shape = (
-                int(batch.shape[0]), int(batch.shape[1]), M, A
-            )  # for front_end_roofline
-            self.metrics.add("fe_batches", 1)
-            self.metrics.add("fe_reads", len(chunk))
-            # device chain-kernel cell updates this dispatch (the DP
-            # the chip actually runs: B anchors x window predecessors)
-            self.metrics.add(
-                "chain_cells",
-                float(B) * A * (
-                    self.cfg.pallas_chain_window
-                    if jax.default_backend() == "tpu"
-                    else self.cfg.chain_window * 2
-                ),
-            )
-            with self.metrics.timer("front_end"):
-                if use_bt:
-                    od, mmo = self._seed_select_params()
-                    handles = _front_end_bt(
-                        *fe_args[:23], self.cfg.backtrack_k, bt_cuts,
-                        self.opt.min_cnt, self.opt.min_chain_score,
-                        bucket_bits=fe_args[23], bucket_rounds=fe_args[24],
-                        bucket_shift=fe_args[25],
-                        pallas_window=self.cfg.pallas_chain_window,
-                        occ_dist=od, max_max_occ=mmo, packed=pack,
-                        keys32=self.dev.keys32,
-                        hash_bits=fe_args[26], hash_shift=fe_args[27],
-                    )
-                    # start the device->host DMA now, overlapped with
-                    # this chunk's remaining host stages — the blocking
-                    # device_get in stage_process was ~0.14 ms/read of
-                    # pure wait on the tunnel link
-                    try:
-                        for h in handles:
-                            h.copy_to_host_async()
-                    except Exception:  # noqa: BLE001 — optimization only
-                        pass
-                else:
-                    handles = self._fe_dispatch(fe_args, packed=pack)
-
-            def _replay(use_bt=use_bt, fe_args=fe_args, pack=pack,
-                        bt_cuts=bt_cuts):
-                if use_bt:
-                    od2, mmo2 = self._seed_select_params()
-                    return _front_end_bt(
-                        *fe_args[:23], self.cfg.backtrack_k, bt_cuts,
-                        self.opt.min_cnt, self.opt.min_chain_score,
-                        bucket_bits=fe_args[23],
-                        bucket_rounds=fe_args[24],
-                        bucket_shift=fe_args[25],
-                        pallas_window=self.cfg.pallas_chain_window,
-                        occ_dist=od2, max_max_occ=mmo2, packed=pack,
-                        keys32=self.dev.keys32,
-                        hash_bits=fe_args[26], hash_shift=fe_args[27],
-                    )
-                return self._fe_dispatch(fe_args, packed=pack)
-
-            # kept for probe_front_end (steady-state device ms/batch)
-            self._probe_dispatch = _replay
             return chunk, lens, handles
 
         def stage_process(state):
@@ -1207,6 +1116,197 @@ class AlignmentEngine:
                 and self.opt.max_max_occ > self.opt.mid_occ):
             return int(self.opt.occ_dist), int(self.opt.max_max_occ)
         return 0, 0
+
+    def fe_shapes(self, L: int, a_boost: int = 1, b_real: int = 0):
+        """Static device-batch shapes for the L bucket: (B, M, A).
+        Only two batch shapes per bucket (tiny / full): worker-drain
+        sizes vary run to run, and every new B is a fresh compile.
+        Full size scales down for long-read buckets so [B, L] work
+        arrays stay bounded (~256k cells/batch)."""
+        w = self.index.w
+        full_B = max(8, _pow2_at_least(
+            max(self.cfg.device_batch_size * 1024 // L, 8)) // 1)
+        full_B = min(full_B, self.cfg.device_batch_size)
+        B = 8 if (
+            0 < b_real <= 8 and not self.cfg.single_batch_shape
+        ) else full_B
+        if self.mesh is not None:  # shard_map needs B % n_data == 0
+            nd = self.mesh.shape["data"]
+            B = ((B + nd - 1) // nd) * nd
+        M = max(64, L // max(w // 2, 1))
+        A = max(256, int(L * self.cfg.anchors_per_base))
+        A = _pow2_at_least(A) * a_boost
+        return B, M, A
+
+    def fe_submit(self, codes_sel, L: int, a_boost: int = 1):
+        """Device-owner topology: dispatch ONE front-end batch (≤B
+        reads of the L bucket) and return an opaque ticket for
+        fe_collect.  No device sync; thread-safe (jit caches and
+        metrics are)."""
+        B, M, A = self.fe_shapes(L, a_boost=a_boost)
+        if len(codes_sel) > B:
+            raise ValueError(f"chunk of {len(codes_sel)} > batch {B}")
+        use_bt = self._bt_enabled()
+        bt_cuts = min(8, L // self.SEG_LEN)
+        lens, handles = self._fe_submit_batch(
+            codes_sel, L, B, M, A, use_bt, bt_cuts
+        )
+        return (handles, use_bt, A, bt_cuts, len(codes_sel))
+
+    def fe_collect(self, ticket):
+        """Block until a fe_submit ticket's device work is done; return
+        (chains, rep_len, n_raw) sliced to the submitted reads —
+        compact chain rows [n, K, 9+2*cuts] (regions_from_compact
+        layout), exactly what post_chain_packed consumes.  Requires
+        the native lib on the non-device-backtrack path."""
+        import jax
+
+        from .. import native
+
+        handles, use_bt, A, bt_cuts, n = ticket
+        if use_bt:
+            with self.metrics.timer("front_end"):
+                chains_np, aux = jax.device_get(handles)
+                chains_np = np.asarray(chains_np)
+                aux = np.asarray(aux)
+            return chains_np[:n], aux[0][:n], aux[1][:n]
+        with self.metrics.timer("front_end"):
+            arr, n_np, rep_len, n_raw = self._front_end_fetch(handles, A)
+        chains_np = native.backtrack_compact_batch(
+            arr, self.opt.min_cnt, self.opt.min_chain_score,
+            self.cfg.backtrack_k, bt_cuts, self.SEG_LEN,
+        )
+        if chains_np is None:
+            raise RuntimeError(
+                "device-owner topology requires the native runtime "
+                "(backtrack_compact_batch) when device backtrack is off"
+            )
+        return chains_np[:n], np.asarray(rep_len[:n]), np.asarray(n_raw[:n])
+
+    def _fe_submit_batch(
+        self, codes_sel, L: int, B: int, M: int, A: int,
+        use_bt: bool, bt_cuts: int,
+    ):
+        """Stage + dispatch ONE fused front-end batch (≤B reads, all in
+        the L bucket); returns (lens, handles) without any device sync.
+        Shared by _map_bucket's software pipeline and the device-owner
+        topology's fe_submit (runtime/devowner.py)."""
+        import jax
+        import jax.numpy as jnp
+
+        k, w = self.index.k, self.index.w
+        batch = np.full((B, L), 4, np.uint8)
+        lens = np.zeros(B, np.int32)
+        for bi, c in enumerate(codes_sel):
+            batch[bi, : len(c)] = c
+            lens[bi] = len(c)
+        # TPU: hand-written Mosaic chain kernel (predictable
+        # compiles, H=128 window); elsewhere: XLA block formulation
+        is_hpc = bool(self.index.flag & 0x1)
+        pack = self.cfg.pack_uplink and not is_hpc
+        if is_hpc:
+            from ..ops.sketch import compress_hpc, hpc_spans
+
+            cc, cl, run_end, run_len = compress_hpc(batch, lens)
+            spans_np = hpc_spans(run_len, k)
+            fe_codes = jnp.asarray(cc)
+            fe_sklens = jnp.asarray(cl)
+            fe_force = jnp.asarray(spans_np >= 256)
+            fe_posmap = jnp.asarray(run_end)
+            fe_spans = jnp.asarray(spans_np)
+        else:
+            # optionally 4-bit-pack the query upload (two codes per
+            # byte); expanded on device in the front-end graph.
+            # Uplink bytes halve — the tunnel is shared by every
+            # worker process and runs near saturation at full rate.
+            fe_codes = jnp.asarray(
+                (batch[:, 0::2] << 4) | batch[:, 1::2]
+            ) if pack else jnp.asarray(batch)
+            fe_sklens = jnp.asarray(lens)
+            fe_force = fe_posmap = fe_spans = None
+        fe_dev = self._fe_dev  # dummy when the index is sharded:
+        # the replicated device tables must never be built then
+        fe_args = (
+            fe_codes,
+            jnp.asarray(lens),
+            fe_sklens,
+            fe_force,
+            fe_posmap,
+            fe_spans,
+            fe_dev.key_hi,
+            fe_dev.key_lo,
+            fe_dev.offcnt,
+            fe_dev.pos_rp,
+            fe_dev.bucket_start,
+            fe_dev.hash_rows,
+            fe_dev.hash_val,
+            jnp.int32(fe_dev.n_keys),
+            jnp.int32(self.opt.mid_occ),
+            k,
+            w,
+            M,
+            A,
+            self._chain_params,
+            self.cfg.chain_window,
+            jax.default_backend() == "tpu",
+            float(self.opt.q_occ_frac),
+            fe_dev.bucket_bits,
+            fe_dev.bucket_rounds,
+            fe_dev.bucket_shift,
+            fe_dev.hash_bits,
+            fe_dev.hash_shift,
+        )
+        self._probe_shape = (B, L, M, A)  # for front_end_roofline
+        self.metrics.add("fe_batches", 1)
+        self.metrics.add("fe_reads", len(codes_sel))
+        # device chain-kernel cell updates this dispatch (the DP
+        # the chip actually runs: B anchors x window predecessors)
+        self.metrics.add(
+            "chain_cells",
+            float(B) * A * (
+                self.cfg.pallas_chain_window
+                if jax.default_backend() == "tpu"
+                else self.cfg.chain_window * 2
+            ),
+        )
+        with self.metrics.timer("front_end"):
+            if use_bt:
+                handles = self._fe_bt_dispatch(fe_args, bt_cuts, pack)
+                # start the device->host DMA now, overlapped with
+                # this chunk's remaining host stages — the blocking
+                # device_get in stage_process was ~0.14 ms/read of
+                # pure wait on the tunnel link
+                try:
+                    for h in handles:
+                        h.copy_to_host_async()
+                except Exception:  # noqa: BLE001 — optimization only
+                    pass
+            else:
+                handles = self._fe_dispatch(fe_args, packed=pack)
+
+        def _replay(use_bt=use_bt, fe_args=fe_args, pack=pack,
+                    bt_cuts=bt_cuts):
+            if use_bt:
+                return self._fe_bt_dispatch(fe_args, bt_cuts, pack)
+            return self._fe_dispatch(fe_args, packed=pack)
+
+        # kept for probe_front_end (steady-state device ms/batch)
+        self._probe_dispatch = _replay
+        return lens, handles
+
+    def _fe_bt_dispatch(self, fe_args, bt_cuts: int, pack: bool):
+        """The fused front-end + device-backtrack graph call."""
+        od, mmo = self._seed_select_params()
+        return _front_end_bt(
+            *fe_args[:23], self.cfg.backtrack_k, bt_cuts,
+            self.opt.min_cnt, self.opt.min_chain_score,
+            bucket_bits=fe_args[23], bucket_rounds=fe_args[24],
+            bucket_shift=fe_args[25],
+            pallas_window=self.cfg.pallas_chain_window,
+            occ_dist=od, max_max_occ=mmo, packed=pack,
+            keys32=self.dev.keys32,
+            hash_bits=fe_args[26], hash_shift=fe_args[27],
+        )
 
     def _fe_dispatch(self, fe_args, packed=False):
         """Dispatch the fused front end: single-device jit, or the
