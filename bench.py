@@ -368,7 +368,13 @@ def _run() -> None:
     )
     _log(f"index build: {time.time() - t0:.1f}s")
     t0 = time.time()
-    al.enable_threading(2 * n_procs_tpu)
+    # classic topology: 2 proxies per child keep 2 chunks interleaved
+    # per pipe.  device_owner: proxies run the parent-side front end,
+    # so their count is an independent knob (MAPPY_RS_TPU_PROXIES).
+    n_proxies = int(
+        os.environ.get("MAPPY_RS_TPU_PROXIES", str(2 * n_procs_tpu))
+    )
+    al.enable_threading(n_proxies)
     # one-time costs in EVERY worker process before timing: device
     # index upload + compile-cache load (the in-run warm pass feeds
     # through the shared queue and can leave slow children cold)

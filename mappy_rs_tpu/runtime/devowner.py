@@ -107,8 +107,12 @@ class DevOwnerMapper:
         from ..index.share import save_index_dir
 
         self.engine = engine
-        # one compiled batch shape, as the classic children use
-        engine.cfg = engine.cfg.replace(single_batch_shape=True)
+        # one compiled batch shape, as the classic children use.
+        # Mutate in place (restored on shutdown): the engine and the
+        # Aligner share this config object, and replacing it would
+        # detach the engine from later config tuning.
+        self._saved_sbs = engine.cfg.single_batch_shape
+        engine.cfg.single_batch_shape = True
         self._no_2nd_default = bool(map_opt.flag & MM_F_NO_PRINT_2ND)
         self._seq_names = list(index.seq_names)
         self._seq_lens = index.seq_lens
@@ -299,6 +303,10 @@ class DevOwnerMapper:
         if self._closed:
             return
         self._closed = True
+        try:
+            self.engine.cfg.single_batch_shape = self._saved_sbs
+        except Exception:  # noqa: BLE001
+            pass
         for child in self._children:
             try:
                 with child.send_lock:
