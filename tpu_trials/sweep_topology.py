@@ -28,6 +28,9 @@ N_READS = 8000
 
 
 def main():
+    import faulthandler
+
+    faulthandler.dump_traceback_later(600, repeat=True)
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jaxcache")
