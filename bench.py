@@ -176,16 +176,18 @@ def main() -> None:
     # deterministic trace-time hashing: keeps the persistent compile
     # cache key stable across processes/runs (see procpool.ProcPool)
     env.setdefault("PYTHONHASHSEED", "0")
-    # 560s first attempt: a congestion-epoch warmup alone can cost
-    # ~360s (remote compile-cache loads serialize behind other
-    # clients' work); killing it wastes the work AND leaves the
-    # backend busier.  Retry runs against a fully-warm cache in ~100s.
-    # Worst case 560 + 20 + 300 ~= 15 min.
-    for attempt, tmo in enumerate((560, 300)):
+    # 900s first attempt: in the 2026-08-21 congested epoch even the
+    # device-owner topology's ONE compile-cache load took 400-1000s
+    # (server-side serialization behind other clients); killing a
+    # loading run wastes the work AND leaves the backend busier.  The
+    # retry starts against a warm local cache.  Worst case
+    # 900 + 20 + 420 ~= 22 min — a missing JSON costs the whole
+    # round's record, so the ladder errs long.
+    for attempt, tmo in enumerate((900, 420)):
         if attempt > 0:
-            # the retry must fit 300s even mid-congestion: 4 workers
-            # spawn/warm ~90s faster than 6 and still clear ~9.5k r/s
-            env.setdefault("MAPPY_RS_TPU_PROCS", "4")
+            # retry leaner: fewer proxy threads spawn faster and the
+            # one-load warmup dominates either way
+            env.setdefault("MAPPY_RS_TPU_PROCS", "3")
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--once"]
@@ -349,30 +351,43 @@ def _run() -> None:
         _log("baseline refresh done")
         return
 
-    # ---- TPU path (multi-process: N device pipelines, one chip) ----
+    # ---- TPU path ----
+    # Round-5 default: device-owner topology (runtime/devowner.py) —
+    # the parent owns the ONLY TPU client (one index upload + ONE
+    # remote compile-cache load) and N jax-free post-chain children do
+    # the host tail.  Chosen for throughput parity with classic at
+    # far lower warmup risk: in the 2026-08-21 congested epoch the
+    # classic 7-client warmup took 45+ min (per-child cache loads
+    # serialize server-side at 300-670 s) — no record would fit the
+    # driver's attempt ladder — while device-owner warms with one
+    # load.  Tuning (tpu_trials + /tmp/devown_* runs, same epoch):
+    # p3x6c1024 med 10.4k; p4x8c1024 9.7k; p3x9c512 med 11.4k max
+    # 13.8k; p3x12c512 10.6k.  Classic stays one env away
+    # (MAPPY_RS_TPU_TOPOLOGY=classic, PROCS=7, PROC_CHUNK=1024).
     t0 = time.time()
     al = Aligner(seq=genome, preset="map-ont")
-    n_procs_tpu = int(os.environ.get("MAPPY_RS_TPU_PROCS", "7"))
+    topo = os.environ.get("MAPPY_RS_TPU_TOPOLOGY", "device_owner")
+    al._config.topology = topo
+    devown = topo == "device_owner"
+    n_procs_tpu = int(
+        os.environ.get("MAPPY_RS_TPU_PROCS", "3" if devown else "7")
+    )
     al._config.worker_processes = n_procs_tpu
-    # tuned round 4: after the fused C++ post-chain cut per-child host
-    # cost to ~0.2 ms/read, oversubscribing 4 cores hides the
-    # ~35ms/batch device-fetch latency the depth-3 pipeline cannot.
-    # Interleaved congestion-cancelling sweep
-    # (tpu_trials/sweep_runtime.py, 4 passes/config): procs 4 -> 9.5k;
-    # 6 -> med 10.9k (max 14.0k calm); 7 -> med 11.3k with the LOWEST
-    # variance (10.8-11.8k); 8 -> 10.5k.  chunk=2048 and 3 proxies
-    # both lose; 2 proxies per child keep 2 chunks interleaved per
-    # pipe; 1024-read chunks fill the in-child pipeline.
     al._config.proc_chunk = int(
-        os.environ.get("MAPPY_RS_TPU_PROC_CHUNK", "1024")
+        os.environ.get("MAPPY_RS_TPU_PROC_CHUNK",
+                       "512" if devown else "1024")
     )
     _log(f"index build: {time.time() - t0:.1f}s")
     t0 = time.time()
-    # classic topology: 2 proxies per child keep 2 chunks interleaved
-    # per pipe.  device_owner: proxies run the parent-side front end,
-    # so their count is an independent knob (MAPPY_RS_TPU_PROXIES).
+    # classic: 2 proxies per child keep 2 chunks interleaved per pipe.
+    # device_owner: 3 per child — proxies run the parent-side front
+    # end, so one can sit in its child round-trip while another feeds
+    # the chip (MAPPY_RS_TPU_PROXIES overrides).
     n_proxies = int(
-        os.environ.get("MAPPY_RS_TPU_PROXIES", str(2 * n_procs_tpu))
+        os.environ.get(
+            "MAPPY_RS_TPU_PROXIES",
+            str((3 if devown else 2) * n_procs_tpu),
+        )
     )
     al.enable_threading(n_proxies)
     # one-time costs in EVERY worker process before timing: device
