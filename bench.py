@@ -176,14 +176,15 @@ def main() -> None:
     # deterministic trace-time hashing: keeps the persistent compile
     # cache key stable across processes/runs (see procpool.ProcPool)
     env.setdefault("PYTHONHASHSEED", "0")
-    # 900s first attempt: in the 2026-08-21 congested epoch even the
+    # 1700s first attempt: in the 2026-08-21 congested epoch even the
     # device-owner topology's ONE compile-cache load took 400-1000s
-    # (server-side serialization behind other clients); killing a
-    # loading run wastes the work AND leaves the backend busier.  The
-    # retry starts against a warm local cache.  Worst case
-    # 900 + 20 + 420 ~= 22 min — a missing JSON costs the whole
-    # round's record, so the ladder errs long.
-    for attempt, tmo in enumerate((900, 420)):
+    # (server-side serialization behind other clients; a COLD compile
+    # on a fresh cache took 921s warmup total); killing a loading run
+    # wastes the work AND leaves the backend busier.  The retry starts
+    # against a warm local cache.  Worst case 1700 + 20 + 600 ~= 39
+    # min — a missing JSON costs the whole round's record, so the
+    # ladder errs long.
+    for attempt, tmo in enumerate((1700, 600)):
         if attempt > 0:
             # retry leaner: fewer proxy threads spawn faster and the
             # one-load warmup dominates either way
@@ -304,16 +305,23 @@ def _run() -> None:
     genome = bytes(
         np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, GENOME_LEN)]
     ).decode()
-    # 3 disjoint payloads per measured config (see _measure)
-    reads, truth = simulate(rng, genome, 3 * N_READS, READ_LEN, ERROR_RATE)
+    # 6 disjoint payloads per measured config (see _measure): passes
+    # are ~2s each while warmup is ~minutes, so extra passes are
+    # nearly free and the median over 6 damps the shared backend's
+    # large run-to-run noise far better than over 3.  Disjoint reads
+    # per pass keep the repeat-a-read cache artifact out.
+    n_pass = 6
+    reads, truth = simulate(
+        rng, genome, n_pass * N_READS, READ_LEN, ERROR_RATE
+    )
     payload = [{"i": i, "seq": r} for i, r in enumerate(reads)]
     payloads = [
-        payload[p * N_READS : (p + 1) * N_READS] for p in range(3)
+        payload[p * N_READS : (p + 1) * N_READS] for p in range(n_pass)
     ]
     cpu_payloads = [
         payload[p * N_READS : p * N_READS + N_READS_CPU] for p in range(3)
     ]
-    _log(f"setup (genome + {3 * N_READS} simulated reads): "
+    _log(f"setup (genome + {n_pass * N_READS} simulated reads): "
          f"{time.time() - t_start:.1f}s")
 
     # ---- CPU baseline: persisted artifact, measured when absent ----
@@ -396,9 +404,16 @@ def _run() -> None:
     al.warmup(reads[:256])
     _log(f"worker spawn + warmup: {time.time() - t0:.1f}s")
     _cpu0 = time.process_time()
+    # The pass deadline counts from MEASUREMENT start, not run start:
+    # on a congested backend the one-time warmup (compile-cache load,
+    # serialized server-side) can alone exceed BUDGET_S, and cutting
+    # to a single pass then records the slowest (pipeline-fill) pass
+    # as the round's median (observed 2026-08-21: 921s warmup -> one
+    # 3.9k pass vs a 12k steady state).  Passes cost ~2s each; the
+    # post-warmup allowance is small and bounded either way.
     passes, best, wall = _measure(
         al, payloads, truth, reset_after_warm=True,
-        deadline=t_start + BUDGET_S,
+        deadline=max(t_start + BUDGET_S, time.time() + 120.0),
     )
     parent_cpu = time.process_time() - _cpu0
     rps, dt, n_hit, n_correct = best
