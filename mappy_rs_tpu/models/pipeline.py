@@ -574,7 +574,7 @@ class AlignmentEngine:
 
         from .. import native
 
-        use_bt = self._bt_enabled()
+        use_bt = self._bt_enabled(B, A)
         bt_cuts = min(8, L // self.SEG_LEN)
 
         def stage_dispatch(chunk):
@@ -1024,7 +1024,19 @@ class AlignmentEngine:
             "hbm_bytes": float(hbm_bytes),
         }
 
-    def _bt_enabled(self) -> bool:
+    def _bt_enabled(self, B: int = 256, A: int = 256) -> bool:
+        # The device backtrack kernel (ops/backtrack_pallas.py) holds
+        # its [B, A_pad] anchor arrays in scoped VMEM: ~10 s32 arrays
+        # -> ~40*B*A bytes vs the 16 MB scoped limit.  B=256, A=4096
+        # (an anchor-overflow retry at a_boost=16 on a repeat-dense
+        # genome — first hit by the 3.1 Gbp artifact, 2026-08-21)
+        # fails AOT with "Scoped allocation with size 40.91M ...
+        # exceeded scoped vmem limit".  Oversized batches take the
+        # host backtrack path (native backtrack_compact_batch), which
+        # the non-bt fetch already uses; retries are rare, so the
+        # extra downlink is noise.
+        if B * A > 256 * 1024:
+            return False
         mode = self.cfg.device_backtrack
         if mode == "on":
             return True
@@ -1146,7 +1158,7 @@ class AlignmentEngine:
         B, M, A = self.fe_shapes(L, a_boost=a_boost)
         if len(codes_sel) > B:
             raise ValueError(f"chunk of {len(codes_sel)} > batch {B}")
-        use_bt = self._bt_enabled()
+        use_bt = self._bt_enabled(B, A)
         bt_cuts = min(8, L // self.SEG_LEN)
         lens, handles = self._fe_submit_batch(
             codes_sel, L, B, M, A, use_bt, bt_cuts
